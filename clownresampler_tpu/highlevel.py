@@ -1,0 +1,231 @@
+"""High-level buffered streaming API: automatic edge padding and halo carry.
+
+Mirrors ClownResampler_HighLevel_{Init,Resample,Adjust,ResampleEnd}
+(clownresampler.h:650-659, 1096-1252) including the exact buffer geometry:
+a fixed 0x1000-sample staging buffer with a 2*radius "dead zone" halo that is
+memmoved to the buffer head on every refill (1143-1154) — the reference's
+single-address-space version of a halo exchange. Keeping the geometry
+bit-identical means every convolution sees exactly the same window data as the
+C code, so outputs match regardless of how callers chunk their input.
+
+Callback contracts are pythonic equivalents of clownresampler.h:661-662:
+  input_callback(total_frames:int) -> np.ndarray (n, channels) int16, n <= total
+    (empty array == the C callback returning 0 == end of input)
+  output_callback(frame: np.ndarray (channels,) int32) -> bool
+    (False == stop resampling)
+
+Array-style wrappers (``resample_chunk``/``flush``) avoid the per-frame Python
+crossing for bulk use; they are built on the same machinery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from clownresampler_tpu.configure import MAXIMUM_CHANNELS
+from clownresampler_tpu.lowlevel import LowLevelResampler
+from clownresampler_tpu.models import DEFAULT_MODEL, KernelModel
+
+BUFFER_TOTAL_SAMPLES = 0x1000  # clownresampler.h:654
+
+InputCallback = Callable[[int], np.ndarray]
+OutputCallback = Callable[[np.ndarray], bool]
+
+
+@dataclass
+class HighLevelResampler:
+    """Stateful mirror of ClownResampler_HighLevel_State (650-659)."""
+
+    low_level: LowLevelResampler
+    input_buffer: np.ndarray            # flat (BUFFER_TOTAL_SAMPLES,) int16
+    input_buffer_start: int             # sample index
+    input_buffer_end: int               # sample index
+    maximum_integer_stretched_kernel_radius: int
+    leading_padding_frames_needed: int
+    trailing_padding_frames_remaining: int
+    buffer_total_samples: int = BUFFER_TOTAL_SAMPLES
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def init(
+        cls,
+        channels: int,
+        input_rate: int,
+        output_rate: int,
+        low_pass_rate: int,
+        model: KernelModel = DEFAULT_MODEL,
+        buffer_total_samples: int = BUFFER_TOTAL_SAMPLES,
+    ) -> Optional["HighLevelResampler"]:
+        """ClownResampler_HighLevel_Init (1101-1118). None on failure.
+
+        ``buffer_total_samples`` lifts the reference's fixed 0x1000 staging
+        buffer (TODO-noted there as should-be-dynamic, clownresampler.h:654)
+        into a parameter; the default reproduces the C geometry exactly.
+        """
+        if channels > MAXIMUM_CHANNELS:
+            return None
+        low = LowLevelResampler.init(channels, input_rate, output_rate, low_pass_rate, model)
+        if low is None:
+            return None
+        radius = low.config.integer_stretched_kernel_radius
+        buf = np.zeros(buffer_total_samples, dtype=np.int16)
+        # Reference zeroes only the leading dead zone (1111-1112); we start
+        # all-zero which is a superset. Cursors at the middle of the first
+        # kernel window (1115).
+        start = radius * channels
+        return cls(
+            low_level=low,
+            input_buffer=buf,
+            input_buffer_start=start,
+            input_buffer_end=start,
+            maximum_integer_stretched_kernel_radius=radius,
+            leading_padding_frames_needed=radius,
+            trailing_padding_frames_remaining=radius,
+            buffer_total_samples=buffer_total_samples,
+        )
+
+    @property
+    def channels(self) -> int:
+        return self.low_level.channels
+
+    # ------------------------------------------------------------------
+    def resample(
+        self,
+        input_callback: InputCallback,
+        output_callback: Optional[OutputCallback] = None,
+        output_limit: Optional[int] = None,
+        _collect: Optional[list] = None,
+    ) -> bool:
+        """ClownResampler_HighLevel_Resample (1120-1176).
+
+        Returns True if it stopped because input dried up, False because the
+        output side called a halt. ``output_limit`` is the array-API stand-in
+        for a callback that refuses after N frames (reference semantics: the
+        Nth frame is still delivered, then the refusal stops the loop).
+        """
+        ch = self.channels
+        max_radius_samples = self.maximum_integer_stretched_kernel_radius * ch
+        double_radius_samples = 2 * max_radius_samples
+
+        # Prime the leading padding (1127-1136): pull the first `radius` real
+        # frames into the second dead zone; give up (input-exhausted) if the
+        # input dries up mid-prime.
+        while self.leading_padding_frames_needed != 0:
+            offset = double_radius_samples - self.leading_padding_frames_needed * ch
+            got = np.asarray(input_callback(self.leading_padding_frames_needed))
+            frames_read = got.shape[0] if got.size else 0
+            if frames_read == 0:
+                return True
+            self.input_buffer[offset : offset + frames_read * ch] = got.reshape(-1)
+            self.leading_padding_frames_needed -= frames_read
+
+        produced_total = 0
+        while True:
+            if self.input_buffer_start == self.input_buffer_end:
+                # Dead-zone refill (1143-1158): slide the trailing 2*radius
+                # halo to the head, then top up from the input callback.
+                src = self.input_buffer_end - max_radius_samples
+                self.input_buffer[0:double_radius_samples] = self.input_buffer[
+                    src : src + double_radius_samples
+                ]
+                self.input_buffer_start = max_radius_samples
+                room = (self.buffer_total_samples - double_radius_samples) // ch
+                got = np.asarray(input_callback(room))
+                frames_read = got.shape[0] if got.size else 0
+                if frames_read:
+                    self.input_buffer[
+                        double_radius_samples : double_radius_samples + frames_read * ch
+                    ] = got.reshape(-1)
+                self.input_buffer_end = self.input_buffer_start + frames_read * ch
+                if self.input_buffer_start == self.input_buffer_end:
+                    return True
+
+            # Delegate to the low-level resampler with the current-radius halo
+            # (1161-1171): pointer = start - radius, count = start..end frames.
+            radius_samples = self.low_level.config.integer_stretched_kernel_radius * ch
+            input_frames = (self.input_buffer_end - self.input_buffer_start) // ch
+            window = self.input_buffer[
+                self.input_buffer_start - radius_samples : self.input_buffer_end + radius_samples
+            ]
+            limit = None if output_limit is None else output_limit - produced_total
+
+            if output_callback is not None:
+
+                def _cb(frame):
+                    nonlocal produced_total
+                    keep = output_callback(frame)
+                    produced_total += 1
+                    return keep
+
+                exhausted, remaining, frames = self.low_level.resample(
+                    window, input_frames, output_callback=_cb, output_limit=limit
+                )
+            else:
+                exhausted, remaining, frames = self.low_level.resample(
+                    window, input_frames, output_limit=limit
+                )
+                produced_total += frames.shape[0]
+            if _collect is not None:
+                _collect.append(frames)
+            self.input_buffer_start = self.input_buffer_end - remaining * ch
+            if not exhausted:
+                return False
+
+    # ------------------------------------------------------------------
+    def adjust(self, input_rate: int, output_rate: int, low_pass_rate: int) -> bool:
+        """ClownResampler_HighLevel_Adjust (1183-1209): transactional; rolls
+        back on ratio failure, on radius exceeding the Init-time radius, or on
+        the doubled radius not fitting the staging buffer."""
+        low = self.low_level
+        backup = (low.position_integer, low.position_fractional, low.increment, low.config)
+
+        if not low.adjust(input_rate, output_rate, low_pass_rate):
+            return False
+        ok = (
+            low.config.integer_stretched_kernel_radius
+            <= self.maximum_integer_stretched_kernel_radius
+            and low.config.integer_stretched_kernel_radius * 2
+            < self.buffer_total_samples // low.channels
+        )
+        if not ok:
+            (low.position_integer, low.position_fractional, low.increment, low.config) = backup
+            return False
+        return True
+
+    # ------------------------------------------------------------------
+    def resample_end(
+        self,
+        output_callback: Optional[OutputCallback] = None,
+        output_limit: Optional[int] = None,
+        _collect: Optional[list] = None,
+    ) -> bool:
+        """ClownResampler_HighLevel_ResampleEnd (1242-1250): flush the tail by
+        feeding `radius` zero frames through the normal resample path. True
+        once the final sample has been output."""
+        ch = self.channels
+
+        def padding_callback(total_frames: int) -> np.ndarray:
+            n = min(total_frames, self.trailing_padding_frames_remaining)
+            self.trailing_padding_frames_remaining -= n
+            return np.zeros((n, ch), dtype=np.int16)
+
+        return self.resample(
+            padding_callback, output_callback, output_limit=output_limit, _collect=_collect
+        )
+
+    # ------------------------------------------------------------------
+    # Array-style conveniences (no per-frame Python crossing contracts).
+    def resample_stream(self, input_callback: InputCallback) -> np.ndarray:
+        """Run to end-of-input, then flush; returns all output frames."""
+        collected: list = []
+        self.resample(input_callback, _collect=collected)
+        self.resample_end(_collect=collected)
+        if not collected:
+            return np.zeros((0, self.channels), np.int32)
+        return np.concatenate(collected, axis=0)
+
+    def buffer_fill_frames(self) -> int:
+        return (self.input_buffer_end - self.input_buffer_start) // self.channels

@@ -1,0 +1,350 @@
+"""Low-level streaming API: phase-accumulator state over pre-padded input.
+
+Functional re-expression of ClownResampler_LowLevel_{Init,Adjust,Resample}
+(clownresampler.h:640-648, 1039-1094). The reference runs a sequential
+per-output-frame loop whose only state is the 16.16 phase accumulator; between
+Adjust calls the accumulation is linear, so output frame n has the closed-form
+position  t(n) = f0 + n*increment,  pos(n) = p0 + (t >> 16),
+frac(n) = t & 0xFFFF  — which turns the loop into one batched device
+computation per chunk.
+
+Two layers are provided:
+
+* ``resample_chunk`` — pure, jit-able: static-shape output tile + masks, with
+  the reference's exact termination bookkeeping (position carry on input
+  exhaustion, clownresampler.h:1063-1068; rewind on output-full, 1084-1088).
+  This is the building block for the batched/sharded/Pallas perf paths.
+
+* ``LowLevelResampler`` — host streaming class mirroring the C API surface,
+  including the per-frame output-callback contract. Bookkeeping uses exact
+  Python ints (no overflow for arbitrarily long streams); the math runs on
+  device through the same convolution core.
+
+Input padding contract is the reference's (clownresampler.h:725-733): the
+buffer must carry ``integer_stretched_kernel_radius`` extra frames before and
+after the chunk, holding neighbouring stream data (or zeros at stream edges),
+not counted in ``total_input_frames``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clownresampler_tpu import fixedpoint as fx
+from clownresampler_tpu.configure import Configuration, configure
+from clownresampler_tpu.models import DEFAULT_MODEL, KernelModel
+from clownresampler_tpu.ops.convolve import ConfigScalars, convolve_frames
+
+# Keep n*increment_lo inside int32 (fixedpoint.positions_from_state).
+MAX_CHUNK_OUTPUT_FRAMES = 1 << 14
+
+
+class DeviceState(NamedTuple):
+    """Traced int32 mirror of ClownResampler_LowLevel_State (640-648)."""
+
+    position_integer: jnp.ndarray
+    position_fractional: jnp.ndarray
+    cfg: ConfigScalars
+
+
+def make_device_state(
+    position_integer: int, position_fractional: int, cfg: Configuration, increment: int
+) -> DeviceState:
+    return DeviceState(
+        position_integer=jnp.asarray(position_integer, jnp.int32),
+        position_fractional=jnp.asarray(position_fractional, jnp.int32),
+        cfg=ConfigScalars.from_configuration(cfg, increment),
+    )
+
+
+def natural_output_count(p0, f0, inc_hi, inc_lo, total_input_frames):
+    """Number of frames the reference loop produces before the position check
+    (clownresampler.h:1063) trips: smallest n with p0 + ((f0+n*inc) >> 16) >= N,
+    i.e. ceil(((N - p0) << 16 - f0) / inc), clamped at 0.
+
+    int32-safe for N < 2^14 (callers tile larger inputs).
+    """
+    num = ((total_input_frames - p0) << 16) - f0
+    inc = (inc_hi << 16) + inc_lo  # increments that large force tiny N; see note
+    n = jnp.where(num > 0, (num + inc - 1) // jnp.maximum(inc, 1), 0)
+    return n
+
+
+@partial(jax.jit, static_argnames=("max_taps", "n_out"))
+def resample_chunk(
+    table,
+    padded_input,         # (N_in + 2*radius_max, C) int16
+    total_input_frames,   # int32 scalar: frames, excluding padding
+    state: DeviceState,
+    output_quota,         # int32 scalar: max frames to emit this call
+    *,
+    max_taps: int,
+    n_out: int,           # static output tile capacity
+):
+    """One LowLevel_Resample call as a pure function.
+
+    Returns (output (n_out, C) int32 zero-masked past ``produced``, produced,
+    consumed, new_state, input_exhausted) with the reference's exact return
+    semantics: ``input_exhausted`` mirrors the cc_true/cc_false return of
+    clownresampler.h:1058-1092 — true iff the position check exited the loop,
+    which requires strictly fewer natural frames than the output quota (when
+    the quota trips on the final frame the reference reports output-full).
+    """
+    assert n_out <= MAX_CHUNK_OUTPUT_FRAMES
+    p0 = state.position_integer
+    f0 = state.position_fractional
+    inc_hi = state.cfg.increment_hi
+    inc_lo = state.cfg.increment_lo
+
+    natural = natural_output_count(p0, f0, inc_hi, inc_lo, total_input_frames)
+    quota = jnp.minimum(output_quota, jnp.int32(n_out))
+    produced = jnp.minimum(natural, quota)
+
+    n = jnp.arange(n_out, dtype=jnp.int32)
+    pos, frac = fx.positions_from_state(p0, f0, inc_hi, inc_lo, n)
+
+    out = convolve_frames(table, padded_input, pos, frac, state.cfg, max_taps)
+    out = jnp.where((n < produced)[:, None], out, 0)
+
+    # Advance state past the produced frames, then apply the unified
+    # carry/rewind: delta = min(position, N) covers both exit paths
+    # (input-exhausted carry 1063-1068 and output-full rewind 1084-1088).
+    p_after, f_after = fx.positions_from_state(p0, f0, inc_hi, inc_lo, produced)
+    delta = jnp.minimum(p_after, total_input_frames)
+    consumed = delta
+    new_state = DeviceState(
+        position_integer=p_after - delta,
+        position_fractional=f_after,
+        cfg=state.cfg,
+    )
+    input_exhausted = natural < quota
+    return out, produced, consumed, new_state, input_exhausted
+
+
+# ---------------------------------------------------------------------------
+# Host streaming API (exact-bookkeeping mirror of the C low-level API)
+# ---------------------------------------------------------------------------
+
+OutputCallback = Callable[[np.ndarray], bool]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class LowLevelResampler:
+    """Stateful host-side mirror of the C low-level API.
+
+    ``init``/``adjust``/``resample`` correspond one-to-one to
+    ClownResampler_LowLevel_{Init,Adjust,Resample}. Positions are exact Python
+    ints; per-chunk math is dispatched to the device in tiles.
+    """
+
+    channels: int
+    model: KernelModel = DEFAULT_MODEL
+    position_integer: int = 0
+    position_fractional: int = 0
+    increment: int = 0
+    config: Optional[Configuration] = None
+    # static tap bound for compiled kernels; fixed at init so adjust() never
+    # changes compiled shapes (mirrors the high-level radius rule).
+    _max_taps: int = 0
+
+    @classmethod
+    def init(
+        cls,
+        channels: int,
+        input_rate: int,
+        output_rate: int,
+        low_pass_rate: int,
+        model: KernelModel = DEFAULT_MODEL,
+        max_radius: Optional[int] = None,
+    ) -> Optional["LowLevelResampler"]:
+        """ClownResampler_LowLevel_Init (clownresampler.h:1044-1050).
+
+        ``max_radius`` optionally reserves tap-window capacity for later
+        ``adjust`` calls to wider ratios (the C low-level API has no such
+        limit because it is scalar; compiled tile shapes need a bound).
+        """
+        self = cls(channels=channels, model=model)
+        if not self.adjust(input_rate, output_rate, low_pass_rate, _initial=True):
+            return None
+        radius_bound = max(
+            self.config.integer_stretched_kernel_radius, max_radius or 0
+        )
+        self._max_taps = _round_up(2 * radius_bound, 8)
+        return self
+
+    def adjust(
+        self, input_rate: int, output_rate: int, low_pass_rate: int, _initial=False
+    ) -> bool:
+        """ClownResampler_LowLevel_Adjust (1052-1056): recompute increment and
+        stretching mid-stream; position is untouched. Fails only on crazy
+        ratios (scale >= 0x1000, clownresampler.h:974-975)."""
+        cfg = configure(
+            input_rate,
+            output_rate,
+            low_pass_rate,
+            radius=self.model.radius,
+            resolution=self.model.resolution,
+        )
+        if cfg is None:
+            return False
+        if not _initial and 2 * cfg.integer_stretched_kernel_radius > self._max_taps:
+            # The C low-level API permits unrestricted radius growth on Adjust
+            # (only the high-level API restricts it, clownresampler.h:1195);
+            # growing the static tap bound just recompiles the kernels.
+            self._max_taps = _round_up(2 * cfg.integer_stretched_kernel_radius, 8)
+        self.increment = fx.calculate_ratio(input_rate, output_rate)
+        self.config = cfg
+        return True
+
+    # -- core chunk computation ------------------------------------------
+
+    def _natural_count(self, total_input_frames: int) -> int:
+        num = (
+            (total_input_frames - self.position_integer) << 16
+        ) - self.position_fractional
+        if num <= 0:
+            return 0
+        return -(-num // self.increment)
+
+    def _compute_frames(self, padded_input: np.ndarray, n_frames: int) -> np.ndarray:
+        """Convolve output frames [0, n_frames) from the current state.
+
+        Tiles the launch so device index math stays in int32, and pads inputs
+        and tile sizes to a few static buckets to bound recompilation.
+        """
+        table = self.model.table()
+        chunks = []
+        done = 0
+        while done < n_frames:
+            tile = min(n_frames - done, MAX_CHUNK_OUTPUT_FRAMES)
+            t = self.position_fractional + (done * self.increment)
+            p0 = self.position_integer + (t >> 16)
+            f0 = t & 0xFFFF
+            n_pad = _round_up(tile, 512)
+            n = np.arange(n_pad, dtype=np.int64)
+            tvec = f0 + n * self.increment
+            pos = (p0 + (tvec >> 16)).astype(np.int32)
+            frac = (tvec & 0xFFFF).astype(np.int32)
+            cfg = ConfigScalars.from_configuration(self.config, self.increment)
+            out = _convolve_jit(
+                table,
+                padded_input,
+                pos,
+                frac,
+                cfg,
+                self._max_taps,
+            )
+            chunks.append(np.asarray(out)[:tile])
+            done += tile
+        return (
+            np.concatenate(chunks, axis=0)
+            if chunks
+            else np.zeros((0, self.channels), np.int32)
+        )
+
+    def _advance(self, n_frames: int) -> None:
+        t = self.position_fractional + n_frames * self.increment
+        self.position_integer += t >> 16
+        self.position_fractional = t & 0xFFFF
+
+    def resample(
+        self,
+        padded_input: np.ndarray,     # (N + 2*radius, channels) int16
+        total_input_frames: int,
+        output_callback: Optional[OutputCallback] = None,
+        output_limit: Optional[int] = None,
+    ) -> tuple[bool, int, np.ndarray]:
+        """ClownResampler_LowLevel_Resample (1058-1092).
+
+        Returns (input_exhausted, remaining_input_frames, output_frames).
+        ``output_callback(frame) -> bool`` reproduces the per-frame contract
+        (return False to stop); ``output_limit`` is the array-API equivalent
+        (stop after N frames). With neither, runs to input exhaustion.
+        """
+        padded_input = np.ascontiguousarray(padded_input, dtype=np.int16).reshape(
+            -1, self.channels
+        )
+        natural = self._natural_count(total_input_frames)
+
+        quota = natural if output_limit is None else min(natural, output_limit)
+        frames = self._compute_frames(padded_input, quota)
+
+        # "refused" mirrors the output callback returning 0: the reference
+        # reports output-full (cc_false) even when the refusal lands on the
+        # final natural frame, because the refusal exits the loop before the
+        # position check runs (clownresampler.h:1081-1089).
+        produced = quota
+        refused = False
+        if output_callback is not None:
+            for i in range(quota):
+                if not output_callback(frames[i]):
+                    produced = i + 1
+                    refused = True
+                    break
+        if not refused and output_limit is not None and natural >= output_limit:
+            refused = True
+        frames = frames[:produced]
+
+        self._advance(produced)
+        # Unified carry/rewind (1063-1068, 1084-1088).
+        delta = min(self.position_integer, total_input_frames)
+        remaining = total_input_frames - delta
+        self.position_integer -= delta
+
+        return not refused, remaining, frames
+
+    def state_tuple(self) -> tuple[int, int, int, int, int, int, int]:
+        """(pos_int, pos_frac, increment, stretched, int_radius, delta, step) —
+        for oracle state-equality tests."""
+        c = self.config
+        return (
+            self.position_integer,
+            self.position_fractional,
+            self.increment,
+            c.stretched_kernel_radius,
+            c.integer_stretched_kernel_radius,
+            c.stretched_kernel_radius_delta,
+            c.kernel_step_size,
+        )
+
+
+@partial(jax.jit, static_argnames=("max_taps",))
+def _convolve_jit(table, padded_input, pos, frac, cfg, max_taps):
+    return convolve_frames(table, padded_input, pos, frac, cfg, max_taps)
+
+
+def resample_array(
+    input_frames: np.ndarray,
+    input_rate: int,
+    output_rate: int,
+    low_pass_rate: int,
+    model: KernelModel = DEFAULT_MODEL,
+) -> np.ndarray:
+    """One-shot whole-buffer resample (the tests/test-low-level.c usage:
+    caller pads with radius zero-frames both ends, clownresampler.h:725-733).
+
+    input_frames: (N, channels) int16. Returns (M, channels) int32 wide
+    samples, M = natural output count.
+    """
+    input_frames = np.asarray(input_frames, dtype=np.int16)
+    if input_frames.ndim == 1:
+        input_frames = input_frames[:, None]
+    n, channels = input_frames.shape
+    rs = LowLevelResampler.init(channels, input_rate, output_rate, low_pass_rate, model)
+    if rs is None:
+        raise ValueError("unsupported ratio")
+    r = rs.config.integer_stretched_kernel_radius
+    padded = np.zeros((n + 2 * r, channels), dtype=np.int16)
+    padded[r : r + n] = input_frames
+    _, _, out = rs.resample(padded, n)
+    return out

@@ -1,0 +1,8 @@
+"""Mesh-parallel scaling of the stream farm (DP over streams, SP over frames)."""
+
+from clownresampler_tpu.parallel.sharding import (
+    make_mesh,
+    sharded_resample_batch,
+)
+
+__all__ = ["make_mesh", "sharded_resample_batch"]

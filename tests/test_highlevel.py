@@ -1,0 +1,88 @@
+"""High-level buffered streaming parity: replay the C-oracle scripts.
+
+Covers the staging-buffer geometry (dead-zone halo memmove,
+clownresampler.h:1143-1154), leading-padding priming incl. EOF mid-prime
+(1127-1136), output-quota-limited resumption, transactional Adjust
+(1183-1209) and the ResampleEnd zero-flush (1242-1250), with full state
+(cursors, padding counters) compared after every op.
+"""
+
+import numpy as np
+import pytest
+
+from clownresampler_tpu.highlevel import HighLevelResampler
+from tests import oracle
+
+
+def _replay(name, meta, ops, expected_out, stream):
+    ch = meta["channels"]
+    in_rate, out_rate, lpf = meta["rates"]
+    stream_frames = meta["stream_frames"]
+    stream = stream.reshape(-1, ch)
+
+    rs = HighLevelResampler.init(ch, in_rate, out_rate, lpf)
+    assert rs is not None
+
+    # Mirror of the C harness input callback: scripted per-invocation caps.
+    state = {"cursor": 0, "chunk_i": 0}
+    chunk_caps = {
+        "hl_stream_up": [100, 50, 1000, 3, 997, 10000, 10000],
+        "hl_stream_down": [100, 50, 1000, 3, 997, 10000, 10000],
+        "hl_stream_mono": [100, 50, 1000, 3, 997, 10000, 10000],
+        "hl_eof_prime": [2, 0, 10000],
+    }.get(name, [])
+
+    def input_callback(total_frames: int) -> np.ndarray:
+        want = total_frames
+        if state["chunk_i"] < len(chunk_caps):
+            want = min(want, chunk_caps[state["chunk_i"]])
+            state["chunk_i"] += 1
+        give = min(want, stream_frames - state["cursor"])
+        out = stream[state["cursor"] : state["cursor"] + give]
+        state["cursor"] += give
+        return out
+
+    collected: list = []
+    for row in ops:
+        op, a0, a1, a2 = (int(v) for v in row[:4])
+        exp = [int(v) for v in row[4:14]]
+        before = sum(f.shape[0] for f in collected)
+
+        if op == 1:
+            ret = rs.resample(input_callback, output_limit=a0, _collect=collected)
+        elif op == 2:
+            ret = rs.adjust(a0, a1, a2)
+        elif op == 3:
+            ret = rs.resample_end(output_limit=a0, _collect=collected)
+        else:
+            raise AssertionError(f"unknown op {op}")
+
+        produced = sum(f.shape[0] for f in collected) - before
+        low = rs.low_level
+        got = [
+            int(ret),
+            produced,
+            state["cursor"],
+            low.position_integer,
+            low.position_fractional,
+            low.increment,
+            low.config.integer_stretched_kernel_radius,
+            rs.leading_padding_frames_needed,
+            rs.trailing_padding_frames_remaining,
+            rs.buffer_fill_frames(),
+        ]
+        assert got == exp, (name, row.tolist(), got)
+
+    got_out = (
+        np.concatenate(collected, axis=0).ravel()
+        if collected
+        else np.zeros(0)
+    )
+    np.testing.assert_array_equal(got_out, expected_out, err_msg=name)
+
+
+@pytest.mark.parametrize(
+    "script", list(oracle.scripts("highlevel")), ids=lambda s: s[0]
+)
+def test_highlevel_script(script):
+    _replay(*script)
