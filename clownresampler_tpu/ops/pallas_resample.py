@@ -1,0 +1,288 @@
+"""Fused Pallas TPU kernels for the windowed-sinc resampling hot loop.
+
+This replaces the reference's scalar inner MAC loop
+(ClownResampler_LowestLevel_Resample, clownresampler.h:986-1035) — the
+component SURVEY.md section 2 row 8 calls the north star — with a VPU kernel
+that processes 8 output frames x 128 interleaved streams per vector step.
+
+Layout: input is lane-major ``x[(S, L)] int32`` (sign-extended s16 samples)
+with L = streams x channels on the 128-wide lane axis; every lane shares the
+launch's phase sequence (uniform ratio), so all per-frame quantities (window
+row, tap kernel values, normaliser reciprocal) are precomputed once in XLA
+(``precompute_launch``) and broadcast across lanes. The data-dependent part of
+the reference loop — per-output-frame window bounds, LUT gather, reciprocal —
+thus leaves the kernel entirely; what remains is a dense multiply-accumulate
+with the exact trunc-toward-zero fixed-point semantics (fixedpoint.py).
+
+The irregular access pattern (window rows advance by a non-integer stride) is
+made dense by a Bresenham decomposition: within an 8-frame tile,
+``rows[n] = tile_row0 + (n%8)*d + eps(n)`` with d = increment>>16 and
+eps in [0, CAND). The kernel performs ONE 8-aligned dynamic load per tile
+(Mosaic requires provably aligned dynamic sublane indices), ONE dynamic
+sublane roll to cancel the misalignment, and then every tap/candidate window
+is a *static* slice — all VPU-friendly aligned vector ops, no gathers.
+
+Kernel applicability: d in {0, 1}, i.e. increment < 2*65536 — every upsample
+and all sub-2x downsamples (the headline 48k->44.1k included). Exact integer
+strides (increment fractional part == 0, e.g. 2:1 96k->48k) use an XLA
+strided-slice formulation (``resample_integer_stride``) that needs no gather
+either. Remaining exotic ratios fall back to the ops.convolve oracle path.
+All paths are bit-exact (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from clownresampler_tpu import fixedpoint as fx
+from clownresampler_tpu.lowlevel import DeviceState
+from clownresampler_tpu.ops.convolve import convolve_frames, window_geometry
+
+LANES = 128
+FRAMES_PER_TILE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA-side launch precompute (tiny: O(n_out * taps) ints)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_taps", "n_out"))
+def precompute_launch(table, state: DeviceState, *, max_taps: int, n_out: int):
+    """Per-output-frame scalars for a uniform-ratio launch.
+
+    Returns (rows (N,), kvals (N, T), q (N,), eps (N,), tile_rows (N/8,)):
+    rows[n] is the first input row of frame n's tap window (pos + min_rel,
+    clownresampler.h:995), kvals the masked LUT taps (1008-1021), q the 17.15
+    reciprocal (1025), eps/tile_rows the Bresenham tile decomposition.
+    """
+    cfg = state.cfg
+    n = jnp.arange(n_out, dtype=jnp.int32)
+    pos, frac = fx.positions_from_state(
+        state.position_integer,
+        state.position_fractional,
+        cfg.increment_hi,
+        cfg.increment_lo,
+        n,
+    )
+    min_rel, _max_rel, kernel_start, taps = window_geometry(cfg, frac)
+    rows = pos + min_rel
+
+    j = jnp.arange(max_taps, dtype=jnp.int32)
+    kidx = kernel_start[:, None] + j[None, :] * cfg.kernel_step_size
+    kidx = jnp.clip(kidx, 0, table.shape[0] - 1)
+    kvals = jnp.where(j[None, :] < taps[:, None], jnp.take(table, kidx, axis=0), 0)
+
+    q = fx.reciprocal_q31(jnp.sum(kvals, axis=1))
+
+    d = cfg.increment_hi
+    tile_rows = rows[::FRAMES_PER_TILE]
+    local = n % FRAMES_PER_TILE
+    eps = rows - jnp.repeat(tile_rows, FRAMES_PER_TILE) - local * d
+    return rows, kvals, q, eps, tile_rows
+
+
+def _macc(win32, kval, acc):
+    """One tap-block multiply-accumulate with C-exact truncation.
+
+    Implements sum over taps of trunc((x*k)/2^16) (clownresampler.h:1020, 625).
+    The tap product spans exactly [-2^31, 2^31) (|x| <= 32768, k in
+    [-9651, 65536], SURVEY.md section 7) so a single int32 multiply is exact;
+    truncation toward zero is floor after adding 0xFFFF to negative products
+    (p >> 31 is 0 or -1, so (p >> 31) & 0xFFFF is the exact bias).
+    """
+    p = win32 * kval
+    return acc + ((p + ((p >> 31) & 0xFFFF)) >> 16)
+
+
+def window_rows_needed(max_taps: int, d: int, cand: int) -> int:
+    """Rows a tile's aligned load touches: alignment slack (<=7) + 7 frames of
+    stride d + taps + candidate jitter — rounded up to a POWER OF TWO because
+    pltpu.roll compiles incorrectly for non-power-of-two sublane extents
+    (empirically verified: 24-row rolls produce wrong data; 16/32 are fine)."""
+    span = 7 * d + (max_taps - 1) + (cand - 1) + 1 + 7
+    w = 16
+    while w < span:
+        w *= 2
+    return w
+
+
+# ---------------------------------------------------------------------------
+# The tiled kernel: 8 output frames x 128 lanes per grid step
+# ---------------------------------------------------------------------------
+
+def _kernel_tiled(
+    tile_rows_ref,  # scalar prefetch (N/8,)
+    meta_ref,       # (8*G, 128) block per grid step: col 0 = eps, col 1 = q
+    kv_ref,         # (8*G, T) block per grid step: full kernel values
+    x_ref,          # (S, 128) lane-tile block, int32
+    out_ref,        # (8*G, 128) block
+    *,
+    max_taps: int,
+    d: int,         # static row stride per frame (0 or 1)
+    cand: int,      # static candidate count (1 + max eps)
+    w_load: int,    # static aligned window rows (window_rows_needed)
+    group: int,     # static frame-tiles per grid step (amortises block DMAs)
+):
+    jg = pl.program_id(1)
+
+    for g in range(group):
+        base = tile_rows_ref[jg * group + g]
+        a = pl.multiple_of((base // 8) * 8, 8)
+        window = x_ref[pl.ds(a, w_load), :]
+        # After the roll, row i of `r` is input row base + i.
+        r = pltpu.roll(window, -(base - a), axis=0)
+
+        lo = g * FRAMES_PER_TILE
+        hi = lo + FRAMES_PER_TILE
+        eps = meta_ref[lo:hi, 0:1]                               # (8, 1)
+        q = meta_ref[lo:hi, 1:2]
+        sel = [eps == c for c in range(1, cand)]                 # hoisted masks
+
+        acc = jnp.zeros((FRAMES_PER_TILE, LANES), jnp.int32)
+        for t in range(max_taps):
+            if d == 1:
+                # sublane k needs row base + k + eps(k) + t
+                win = r[t : t + FRAMES_PER_TILE]
+                for c in range(1, cand):
+                    win = jnp.where(sel[c - 1], r[t + c : t + c + FRAMES_PER_TILE], win)
+            else:
+                # sublane k needs row base + eps(k) + t (no per-frame stride)
+                win = jnp.broadcast_to(r[t : t + 1], (FRAMES_PER_TILE, LANES))
+                for c in range(1, cand):
+                    win = jnp.where(
+                        sel[c - 1],
+                        jnp.broadcast_to(r[t + c : t + c + 1], (FRAMES_PER_TILE, LANES)),
+                        win,
+                    )
+            acc = _macc(win, kv_ref[lo:hi, t : t + 1], acc)
+
+        out_ref[lo:hi, :] = fx.mul_shift15(acc, q)               # 17.15 normalise
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_taps", "n_out", "d", "cand", "group", "interpret"),
+)
+def resample_uniform_lanes_tiled(
+    table,
+    x,                   # (S, L) int32; see window_rows_needed for padding
+    state: DeviceState,
+    *,
+    max_taps: int,
+    n_out: int,          # static; multiple of 8*group
+    d: int,              # static: increment >> 16, must be 0 or 1
+    cand: int,           # static: 1 + max row jitter within an 8-frame tile
+    group: int = 8,      # static frame-tiles per grid step
+    interpret: bool = False,
+):
+    """Fast-path uniform-ratio resample; requires increment < 2^17.
+
+    The caller must pad x so that every tile's aligned window fits:
+    S >= ((max_row & ~7) + window_rows_needed(max_taps, d, cand)).
+    Returns (out (n_out, L) int32, rows (n_out,)).
+    """
+    assert d in (0, 1)
+    s, l = x.shape
+    assert l % LANES == 0 and n_out % (FRAMES_PER_TILE * group) == 0
+    w_load = window_rows_needed(max_taps, d, cand)
+    rows, kvals, q, eps, tile_rows = precompute_launch(
+        table, state, max_taps=max_taps, n_out=n_out
+    )
+    kv = kvals                                                   # (N, T)
+    meta = jnp.stack([eps, q], axis=1)                           # (N, 2)
+    meta = jnp.pad(meta, ((0, 0), (0, LANES - 2)))               # (N, 128)
+
+    step_frames = FRAMES_PER_TILE * group
+    n_steps = n_out // step_frames
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l // LANES, n_steps),
+        in_specs=[
+            pl.BlockSpec((step_frames, LANES), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((step_frames, max_taps), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (step_frames, LANES), lambda i, j, *_: (j, i), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        partial(
+            _kernel_tiled, max_taps=max_taps, d=d, cand=cand, w_load=w_load, group=group
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, l), jnp.int32),
+        interpret=interpret,
+    )(tile_rows, meta, kv, x)
+    return out, rows
+
+
+# ---------------------------------------------------------------------------
+# XLA strided path for exact integer strides (increment fractional part == 0)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_taps", "n_out", "d"))
+def resample_integer_stride(
+    table,
+    x,                   # (S, L) int32, padded so row rows[0] + (n_out-1)*d + T fits
+    state: DeviceState,
+    *,
+    max_taps: int,
+    n_out: int,
+    d: int,              # static integer stride = increment >> 16, >= 1
+):
+    """Exact-integer-stride resample (e.g. 2:1 96k->48k, BASELINE config 2).
+
+    With increment_lo == 0 the phase fraction is constant, so the tap kernel
+    vector and the normaliser are a single (T,)/scalar and window rows are
+    exactly rows[0] + n*d: each tap contributes a *static strided slice* of
+    the input — plain vectorised XLA, no gather, no Pallas needed.
+    """
+    s, l = x.shape
+    rows, kvals, q, _eps, _tile = precompute_launch(
+        table, state, max_taps=max_taps, n_out=n_out
+    )
+    k0 = kvals[0]                      # (T,) — constant across frames
+    q0 = q[0]
+    # row0 is dynamic (position state); slice once dynamically, then stride.
+    row0 = rows[0]
+    span = (n_out - 1) * d + max_taps
+    xwin = jax.lax.dynamic_slice_in_dim(x, row0, span, axis=0)
+    acc = jnp.zeros((n_out, l), jnp.int32)
+    for t in range(max_taps):
+        sl = jax.lax.slice_in_dim(xwin, t, t + (n_out - 1) * d + 1, stride=d, axis=0)
+        acc = _macc(sl, k0[t], acc)
+    return fx.mul_shift15(acc, q0), rows
+
+
+# ---------------------------------------------------------------------------
+# Dispatch planning
+# ---------------------------------------------------------------------------
+
+def plan_uniform(increment: int, n_out: int) -> dict:
+    """Choose a kernel + static params for a launch at this increment.
+
+    tiled   — Pallas kernel; d = increment>>16 in {0,1}
+    strided — XLA static-strided path; increment fractional part == 0, d >= 2
+    oracle  — ops.convolve gather fallback (exotic: non-integer stride >= 2x)
+    """
+    d = increment >> 16
+    lo = increment & 0xFFFF
+    if d <= 1:
+        # eps(k) = ceil((a + k*lo)/2^16) - ceil(a/2^16) <= ceil(7*lo/2^16)
+        # over an 8-frame tile (7*lo is never a multiple of 2^16 for 0<lo<2^16,
+        # so the ceil covers the floor+1 worst case).
+        cand = 1 + (0xFFFF + 7 * lo) // 65536
+        return {"kernel": "tiled", "d": d, "cand": min(cand, 8)}
+    if lo == 0:
+        return {"kernel": "strided", "d": d}
+    return {"kernel": "oracle"}

@@ -1,0 +1,142 @@
+"""Uniform-ratio fast paths must match the XLA oracle bit-for-bit.
+
+The Pallas kernel runs in interpreter mode here (CPU mesh); bench.py and
+tools/bench_kernels.py exercise the compiled kernel on the real chip.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clownresampler_tpu import fixedpoint as fx
+from clownresampler_tpu.configure import configure
+from clownresampler_tpu.lowlevel import make_device_state
+from clownresampler_tpu.models import lanczos_kernel_table
+from clownresampler_tpu.ops.convolve import convolve_frames
+from clownresampler_tpu.ops.pallas_resample import (
+    plan_uniform,
+    resample_integer_stride,
+    resample_uniform_lanes_tiled,
+    window_rows_needed,
+)
+
+TILED_RATIOS = [
+    (48000, 44100),   # headline: d=1, cand=2
+    (8000, 44100),    # upsample: d=0
+    (44100, 48000),   # near-unity upsample: d=0, large cand
+    (44100, 44100),   # unity: d=1, lo=0
+    (65521, 65537),   # prime near-unity
+    (32000, 48000),
+]
+
+STRIDED_RATIOS = [(96000, 48000), (2, 1), (3, 1), (132300, 44100)]
+
+
+def _setup(in_rate, out_rate, n_out=64, lanes=128, seed=3):
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    state = make_device_state(0, 0, cfg, inc)
+    max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 64
+    s = -(-s // 16) * 16
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32)
+    return cfg, inc, state, max_taps, jnp.asarray(x)
+
+
+def _oracle(table, x, state, max_taps, n_out):
+    n = jnp.arange(n_out, dtype=jnp.int32)
+    pos, frac = fx.positions_from_state(
+        state.position_integer,
+        state.position_fractional,
+        state.cfg.increment_hi,
+        state.cfg.increment_lo,
+        n,
+    )
+    return convolve_frames(table, x, pos, frac, state.cfg, max_taps)
+
+
+@pytest.mark.parametrize("in_rate,out_rate", TILED_RATIOS)
+def test_tiled_kernel_bit_exact(in_rate, out_rate):
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg, inc, state, max_taps, x = _setup(in_rate, out_rate)
+    plan = plan_uniform(inc, 64)
+    assert plan["kernel"] == "tiled", plan
+    n_out = 64
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _rows = resample_uniform_lanes_tiled(
+        table,
+        x,
+        state,
+        max_taps=max_taps,
+        n_out=n_out,
+        d=plan["d"],
+        cand=plan["cand"],
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want, err_msg=str((in_rate, out_rate)))
+
+
+@pytest.mark.parametrize("in_rate,out_rate", STRIDED_RATIOS)
+def test_strided_path_bit_exact(in_rate, out_rate):
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg, inc, state, max_taps, x = _setup(in_rate, out_rate)
+    plan = plan_uniform(inc, 64)
+    assert plan["kernel"] == "strided", plan
+    n_out = 64
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _rows = resample_integer_stride(
+        table, x, state, max_taps=max_taps, n_out=n_out, d=plan["d"]
+    )
+    np.testing.assert_array_equal(np.asarray(got), want, err_msg=str((in_rate, out_rate)))
+
+
+def test_tiled_kernel_nonzero_initial_phase():
+    """Mid-stream launches start at arbitrary (pos, frac)."""
+    table = jnp.asarray(lanczos_kernel_table())
+    in_rate, out_rate = 48000, 44100
+    cfg = configure(in_rate, out_rate, out_rate)
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    max_taps = 8
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.integers(-32768, 32768, size=(192, 128)).astype(np.int32))
+    plan = plan_uniform(inc, 64)
+    for p0, f0 in [(3, 0x8421), (0, 0xFFFF), (11, 1)]:
+        state = make_device_state(p0, f0, cfg, inc)
+        want = np.asarray(_oracle(table, x, state, max_taps, 64))
+        got, _ = resample_uniform_lanes_tiled(
+            table, x, state, max_taps=max_taps, n_out=64,
+            d=plan["d"], cand=plan["cand"], interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=str((p0, f0)))
+
+
+def test_plan_coverage():
+    """Every legal increment maps to a plan; tiled bounds candidates at 8."""
+    for inc in [1, 11888, 60211, 65536, 71331, 131071]:
+        plan = plan_uniform(inc, 64)
+        assert plan["kernel"] == "tiled" and 1 <= plan["cand"] <= 8
+    assert plan_uniform(131072, 64)["kernel"] == "strided"
+    assert plan_uniform(361267, 64)["kernel"] == "oracle"  # 44.1k->8k
+    assert plan_uniform(5 << 16, 64)["kernel"] == "strided"
+
+
+def test_window_rows_needed_covers_tiles():
+    """The static load window must cover every row any tile touches."""
+    for in_rate, out_rate in TILED_RATIOS:
+        cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+        inc = fx.calculate_ratio(in_rate, out_rate)
+        plan = plan_uniform(inc, 512)
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        w = window_rows_needed(max_taps, plan["d"], plan["cand"])
+        # emulate: max offset within tile = 7 (alignment) + 7*d + eps + taps
+        n = np.arange(512, dtype=np.int64)
+        t = 0x8421 + n * inc
+        pos = t >> 16
+        frac = t & 0xFFFF
+        min_rel = (frac + cfg.stretched_kernel_radius_delta + 0xFFFF) >> 16
+        rows = pos + min_rel
+        tiles = rows.reshape(-1, 8)
+        base = tiles[:, 0]
+        worst = (tiles - base[:, None]).max() + (max_taps - 1)
+        assert worst + 7 < w + 0 or worst < w, (in_rate, out_rate, worst, w)
