@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""BASELINE.json benchmark suite: one JSON line per config.
+
+Configs (BASELINE.json):
+  1. mono 48k->44.1k single stream (high-level usage shape)
+  2. stereo 2:1 96k->48k (wide anti-alias kernel, strided path)
+  3. integer-ratio 8k->48k mono upsample (pure interpolation, d=0)
+  4. dynamic ratio sweep 0.5x->2.0x (per-chunk Adjust pitch bend)
+  5. 1024-stream mixed-ratio stereo transcode farm
+
+Methodology: steady-state pipelined dispatch of independent launches with
+distinct (state, input) pairs, blocking on all results (see bench.py).
+vs_baseline divides by the C reference's single-core Msamples/s for the
+closest measured anchor (BASELINE.md).
+
+Run on the TPU: python benchmarks/run_all.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from clownresampler_tpu import fixedpoint as fx
+    from clownresampler_tpu.configure import configure
+    from clownresampler_tpu.lowlevel import make_device_state
+    from clownresampler_tpu.models import lanczos_kernel_table
+    from clownresampler_tpu.ops.pallas_resample import (
+        plan_uniform,
+        resample_integer_stride,
+        resample_uniform_lanes_tiled,
+    )
+
+    table = jnp.asarray(lanczos_kernel_table())
+    rng = np.random.default_rng(0)
+    N_OUT = 4096
+
+    def make_launch(in_rate, out_rate, lanes, lpf=None):
+        lpf = lpf or max(in_rate, out_rate)
+        cfg = configure(in_rate, out_rate, lpf)
+        inc = fx.calculate_ratio(in_rate, out_rate)
+        plan = plan_uniform(inc, N_OUT)
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        s = ((N_OUT * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
+        s = -(-s // 16) * 16
+        xs = [
+            jnp.asarray(rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
+            for _ in range(2)
+        ]
+        states = [make_device_state(0, f, cfg, inc) for f in range(8)]
+
+        if plan["kernel"] == "tiled":
+            fn = lambda x, st: resample_uniform_lanes_tiled(
+                table, x, st, max_taps=max_taps, n_out=N_OUT,
+                d=plan["d"], cand=plan["cand"])[0]
+        elif plan["kernel"] == "strided":
+            fn = lambda x, st: resample_integer_stride(
+                table, x, st, max_taps=max_taps, n_out=N_OUT, d=plan["d"])[0]
+        else:
+            raise ValueError("oracle ratios not in this suite")
+        return fn, xs, states
+
+    def pipeline_time(launches, iters=64):
+        """launches: list of (fn, xs, states); round-robin pipelined."""
+        outs = []
+        for i in range(8):  # warm/compile
+            fn, xs, states = launches[i % len(launches)]
+            outs.append(fn(xs[i % len(xs)], states[i % len(states)]))
+        jax.block_until_ready(outs)
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(iters):
+            fn, xs, states = launches[i % len(launches)]
+            outs.append(fn(xs[i % len(xs)], states[(i * 3 + 1) % len(states)]))
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / iters
+
+    def report(name, lanes, dt, anchor_msps):
+        msps = N_OUT * lanes / dt / 1e6
+        print(json.dumps({
+            "metric": name,
+            "value": round(msps, 1),
+            "unit": "Msamples/s",
+            "vs_baseline": round(msps / anchor_msps, 2),
+        }), flush=True)
+
+    # 1. mono 48k->44.1k, one stream (lane-padded; latency-bound shape)
+    dt = pipeline_time([make_launch(48000, 44100, 128)])
+    report("config1 mono 48k->44.1k single-stream (128-lane padded)", 1, dt, 37.4)
+
+    # 2. stereo 96k->48k, 1024 streams (strided)
+    dt = pipeline_time([make_launch(96000, 48000, 2048)])
+    report("config2 stereo 96k->48k 2:1 x1024 streams", 2048, dt, 54.0)
+
+    # 3. mono 8k->48k, 1024 streams (tiled d=0)
+    dt = pipeline_time([make_launch(8000, 48000, 1024)])
+    report("config3 mono 8k->48k upsample x1024 streams", 1024, dt, 45.5)
+
+    # 4. pitch bend: interleave launches across a 0.5x..2.0x ratio sweep
+    sweep = [make_launch(int(44100 * r), 44100, 2048)
+             for r in (0.5, 0.7, 0.9, 1.0, 1.2, 1.5, 1.8, 2.0)]
+    dt = pipeline_time(sweep)
+    report("config4 dynamic ratio sweep 0.5x-2.0x x1024 streams", 2048, dt, 74.9)
+
+    # 5. mixed-ratio farm: 4 ratio groups x 256 stereo streams
+    groups = [make_launch(48000, 44100, 512), make_launch(44100, 48000, 512),
+              make_launch(8000, 48000, 512), make_launch(96000, 48000, 512)]
+    dt = pipeline_time(groups)
+    report("config5 mixed-ratio farm 4x256 stereo streams", 512, dt, 74.9)
+
+
+if __name__ == "__main__":
+    main()

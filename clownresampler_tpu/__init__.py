@@ -22,6 +22,8 @@ Layer map (mirrors SURVEY.md section 1):
 
 from clownresampler_tpu import fixedpoint
 from clownresampler_tpu.configure import MAXIMUM_CHANNELS, Configuration, configure
+from clownresampler_tpu.farm import UniformStreamFarm
+from clownresampler_tpu.highlevel import HighLevelResampler
 from clownresampler_tpu.lowlevel import LowLevelResampler, resample_array
 from clownresampler_tpu.models import (
     DEFAULT_MODEL,
@@ -44,6 +46,8 @@ __all__ = [
     "HIGH_QUALITY_MODEL",
     "LOW_COST_MODEL",
     "LowLevelResampler",
+    "HighLevelResampler",
+    "UniformStreamFarm",
     "resample_array",
     "__version__",
 ]

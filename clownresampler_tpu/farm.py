@@ -1,0 +1,204 @@
+"""Transcode farm: steady-state chunked resampling of many parallel streams.
+
+This is the production path the scalar reference cannot express: B streams
+flow through the fused TPU kernel (ops/pallas_resample.py) as 128-wide vector
+lanes, with the host side doing exactly what the reference's high-level layer
+does for one stream — staging buffer, halo carry, edge padding
+(clownresampler.h:1096-1252) — via the native C++ engine (native/stage.cpp).
+
+``UniformStreamFarm`` drives B same-ratio streams (one shared phase state).
+Mixed-ratio fleets are ratio-grouped: one farm per distinct ratio (streams
+share nothing, so grouping is free — SURVEY.md section 2, parallelism notes).
+Dynamic ratio changes (pitch bends) are ``adjust`` between chunks, mirroring
+LowLevel_Adjust semantics (clownresampler.h:1052-1056): position carries over,
+only the increment/stretching change.
+
+Bit-exactness: each stream's output is identical to running the reference
+(and to LowLevelResampler) on that stream alone — tests/test_farm.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clownresampler_tpu import fixedpoint as fx
+from clownresampler_tpu.configure import Configuration, configure
+from clownresampler_tpu.lowlevel import make_device_state
+from clownresampler_tpu.models import DEFAULT_MODEL, KernelModel
+from clownresampler_tpu.ops.convolve import convolve_frames
+from clownresampler_tpu.ops.pallas_resample import (
+    LANES,
+    plan_uniform,
+    resample_integer_stride,
+    resample_uniform_lanes_tiled,
+    window_rows_needed,
+)
+from clownresampler_tpu.utils import native
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class UniformStreamFarm:
+    """B same-ratio streams, chunked, bit-exact, Pallas-accelerated.
+
+    Feed fixed-size chunks with :meth:`process`; finish with :meth:`flush`.
+    Outputs are wide int32 frames per stream, exactly matching the reference's
+    per-stream results for the concatenated input.
+    """
+
+    def __init__(
+        self,
+        n_streams: int,
+        channels: int,
+        input_rate: int,
+        output_rate: int,
+        low_pass_rate: Optional[int] = None,
+        chunk_frames: int = 4096,
+        model: KernelModel = DEFAULT_MODEL,
+        max_radius: Optional[int] = None,
+        interpret: bool = False,
+    ):
+        low_pass_rate = low_pass_rate if low_pass_rate is not None else max(input_rate, output_rate)
+        cfg = configure(input_rate, output_rate, low_pass_rate,
+                        radius=model.radius, resolution=model.resolution)
+        if cfg is None:
+            raise ValueError("unsupported ratio (kernel scale >= 0x1000)")
+        self.n_streams = n_streams
+        self.channels = channels
+        self.chunk_frames = chunk_frames
+        self.model = model
+        self.interpret = interpret
+        self._table = jnp.asarray(model.table())
+
+        self._lanes = _round_up(n_streams * channels, LANES)
+        radius_bound = max(cfg.integer_stretched_kernel_radius, max_radius or 0)
+        self._max_taps = _round_up(2 * radius_bound, 8)
+        self._radius_bound = radius_bound
+
+        # Host streaming state (exact Python ints) + device scalars per launch.
+        self.position_integer = 0
+        self.position_fractional = 0
+        self._set_config(cfg, fx.calculate_ratio(input_rate, output_rate))
+
+        # Staging buffer: [left halo | data ... | load slack]. Row r of the
+        # staging buffer is sample_index r in the reference's convolution
+        # (clownresampler.h:995): logical stream frame f lives at row f+radius.
+        # Slack covers the tiled kernel's aligned window loads for the rounding
+        # frames past the natural count (up to 64 extra frames at d<=1) plus
+        # alignment; strided/oracle paths clamp their reads instead.
+        slack = 80 + window_rows_needed(self._max_taps, 1, 8)
+        self._capacity = radius_bound + chunk_frames + radius_bound + slack
+        self._staging = np.zeros((self._capacity, self._lanes), np.int32)
+        self._fill = radius_bound      # rows of valid data (left zero halo)
+
+    # ------------------------------------------------------------------
+    def _set_config(self, cfg: Configuration, increment: int) -> None:
+        self.config = cfg
+        self.increment = increment
+        self._plan = plan_uniform(increment, 0)
+
+    def adjust(self, input_rate: int, output_rate: int, low_pass_rate: Optional[int] = None) -> bool:
+        """Mid-stream ratio change (pitch bend); position carries over.
+
+        Like HighLevel_Adjust (clownresampler.h:1183-1209), the radius may not
+        grow past the construction-time bound (pass max_radius to reserve)."""
+        low_pass_rate = low_pass_rate if low_pass_rate is not None else max(input_rate, output_rate)
+        cfg = configure(input_rate, output_rate, low_pass_rate,
+                        radius=self.model.radius, resolution=self.model.resolution)
+        if cfg is None or cfg.integer_stretched_kernel_radius > self._radius_bound:
+            return False
+        self._set_config(cfg, fx.calculate_ratio(input_rate, output_rate))
+        return True
+
+    # ------------------------------------------------------------------
+    def _natural_count(self, total_frames: int) -> int:
+        num = ((total_frames - self.position_integer) << 16) - self.position_fractional
+        return 0 if num <= 0 else -(-num // self.increment)
+
+    def _launch(self, n_out: int) -> np.ndarray:
+        """Run the best kernel for the current plan over the staging buffer."""
+        n_pad = _round_up(max(n_out, 64), 64)
+        # Staging keeps a fixed R_BOUND-row left halo; the C window contract
+        # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
+        # before the data, so shift launch positions by the difference when
+        # the current radius is narrower than the reserved bound.
+        halo_shift = self._radius_bound - self.config.integer_stretched_kernel_radius
+        state = make_device_state(
+            self.position_integer + halo_shift,
+            self.position_fractional,
+            self.config,
+            self.increment,
+        )
+        x = jnp.asarray(self._staging)
+        plan = plan_uniform(self.increment, n_pad)
+        if plan["kernel"] == "tiled":
+            out, _ = resample_uniform_lanes_tiled(
+                self._table, x, state,
+                max_taps=self._max_taps, n_out=n_pad,
+                d=plan["d"], cand=plan["cand"], interpret=self.interpret,
+            )
+        elif plan["kernel"] == "strided":
+            out, _ = resample_integer_stride(
+                self._table, x, state, max_taps=self._max_taps, n_out=n_pad, d=plan["d"]
+            )
+        else:
+            n = jnp.arange(n_pad, dtype=jnp.int32)
+            pos, frac = fx.positions_from_state(
+                state.position_integer, state.position_fractional,
+                state.cfg.increment_hi, state.cfg.increment_lo, n,
+            )
+            out = convolve_frames(self._table, x, pos, frac, state.cfg, self._max_taps)
+        return np.asarray(out)[:n_out]
+
+    def _emit(self, total_frames: int) -> np.ndarray:
+        """Produce every frame available against `total_frames` of data, then
+        slide the staging window (LowLevel position carry, 1063-1068)."""
+        n_out = self._natural_count(total_frames)
+        if n_out > 0:
+            lanes_out = self._launch(n_out)
+            result = native.unstage_output(lanes_out, self.n_streams, self.channels)
+        else:
+            result = np.zeros((self.n_streams, 0, self.channels), np.int32)
+
+        t = self.position_fractional + n_out * self.increment
+        self.position_integer += t >> 16
+        self.position_fractional = t & 0xFFFF
+        consumed = min(self.position_integer, total_frames)
+        self.position_integer -= consumed
+        # Slide out consumed frames; retain everything after them (incl. halo).
+        keep = self._fill - consumed
+        native.shift_rows(self._staging, keep, consumed)
+        self._fill = keep
+        return result
+
+    def process(self, chunk: np.ndarray) -> np.ndarray:
+        """Feed (n_streams, n, channels) int16; returns (n_streams, m, channels)
+        wide int32 output frames (m varies with phase, ~n*out_rate/in_rate)."""
+        chunk = np.ascontiguousarray(chunk, dtype=np.int16)
+        b, n, c = chunk.shape
+        assert b == self.n_streams and c == self.channels and n <= self.chunk_frames
+        if self._fill + n > self._capacity:
+            raise ValueError("staging overflow: feed chunks of at most chunk_frames")
+        native.stage_chunk(chunk, self._staging, self._fill)
+        self._fill += n
+        # Hold back a trailing halo: the last `radius` data rows stay
+        # unconsumable until more data (or flush) arrives — the same trick as
+        # the high-level buffer's early `input_buffer_end` (1154).
+        total = self._fill - 2 * self._radius_bound
+        return self._emit(total) if total > 0 else np.zeros(
+            (self.n_streams, 0, self.channels), np.int32
+        )
+
+    def flush(self) -> np.ndarray:
+        """Feed `radius` zero frames and drain (ResampleEnd, 1242-1250)."""
+        r = self._radius_bound
+        native.zero_rows(self._staging, self._fill, r)
+        self._fill += r
+        total = self._fill - 2 * self._radius_bound
+        return self._emit(max(total, 0))

@@ -1,0 +1,122 @@
+"""Transcode farm: per-stream bit-exactness against the host low-level path.
+
+Each stream pushed through UniformStreamFarm (chunked, Pallas/strided/oracle
+dispatch, native staging) must produce exactly what the reference produces for
+that stream's whole input (the host LowLevelResampler is already proven
+bit-exact against the C oracle).
+"""
+
+import numpy as np
+import pytest
+
+from clownresampler_tpu.farm import UniformStreamFarm
+from clownresampler_tpu.lowlevel import LowLevelResampler
+
+RATIOS = [
+    (48000, 44100),   # tiled d=1
+    (8000, 44100),    # tiled d=0
+    (96000, 48000),   # strided d=2
+    (44100, 8000),    # oracle (d=5, lo != 0)
+    (44100, 44100),   # unity
+]
+
+
+def _host_reference(data, channels, in_rate, out_rate, lpf):
+    rs = LowLevelResampler.init(channels, in_rate, out_rate, lpf)
+    r = rs.config.integer_stretched_kernel_radius
+    padded = np.concatenate(
+        [np.zeros((r, channels), np.int16), data, np.zeros((r, channels), np.int16)]
+    )
+    _, _, frames = rs.resample(padded, data.shape[0])
+    return frames
+
+
+@pytest.mark.parametrize("in_rate,out_rate", RATIOS)
+def test_farm_matches_host(in_rate, out_rate):
+    rng = np.random.default_rng(21)
+    b, ch, total = 4, 2, 700
+    lpf = max(in_rate, out_rate)
+    data = rng.integers(-32768, 32768, size=(b, total, ch)).astype(np.int16)
+
+    farm = UniformStreamFarm(
+        b, ch, in_rate, out_rate, lpf, chunk_frames=256, interpret=True
+    )
+    outs = []
+    cursor = 0
+    for size in (100, 17, 256, 9, 200, 118):
+        outs.append(farm.process(data[:, cursor : cursor + size]))
+        cursor += size
+    assert cursor == total
+    outs.append(farm.flush())
+    got = np.concatenate(outs, axis=1)
+
+    for i in range(b):
+        want = _host_reference(data[i], ch, in_rate, out_rate, lpf)
+        np.testing.assert_array_equal(
+            got[i], want, err_msg=f"stream {i} ratio {in_rate}->{out_rate}"
+        )
+
+
+def test_farm_pitch_bend_matches_host():
+    """adjust() between chunks == LowLevel_Adjust between chunked resamples."""
+    rng = np.random.default_rng(5)
+    b, ch, total = 2, 2, 600
+    data = rng.integers(-32768, 32768, size=(b, total, ch)).astype(np.int16)
+    rates = [(22050, 44100), (33075, 44100), (44100, 44100), (66150, 44100)]
+
+    farm = UniformStreamFarm(
+        b, ch, rates[0][0], rates[0][1], 44100, chunk_frames=256,
+        max_radius=6, interpret=True,
+    )
+    outs = []
+    cursor = 0
+    for i, size in enumerate((150, 150, 150, 150)):
+        if i > 0:
+            assert farm.adjust(rates[i][0], rates[i][1], 44100)
+        outs.append(farm.process(data[:, cursor : cursor + size]))
+        cursor += size
+    outs.append(farm.flush())
+    got = np.concatenate(outs, axis=1)
+
+    # Host mirror: chunked low-level resampling replaying the farm's exact
+    # schedule — after each chunk the farm resamples against all received
+    # frames minus a trailing hold-back of R_BOUND (its max-radius halo);
+    # flush appends R_BOUND zero frames. The adjust points land at the same
+    # stream phase iff the visible-frame schedule matches.
+    r_bound = 6
+    for s in range(b):
+        rs = LowLevelResampler.init(ch, rates[0][0], rates[0][1], 44100, max_radius=r_bound)
+        padded = np.concatenate(
+            [np.zeros((r_bound, ch), np.int16), data[s], np.zeros((r_bound, ch), np.int16)]
+        )
+        host_frames = []
+        consumed = 0
+        received = 0
+        for i, size in enumerate((150, 150, 150, 150)):
+            if i > 0:
+                assert rs.adjust(rates[i][0], rates[i][1], 44100)
+            received += size
+            n_visible = received - consumed - r_bound
+            if n_visible <= 0:
+                continue
+            r = rs.config.integer_stretched_kernel_radius
+            start_row = r_bound + consumed - r
+            window = padded[start_row : start_row + n_visible + 2 * r]
+            _, remaining, frames = rs.resample(window, n_visible)
+            host_frames.append(frames)
+            consumed += n_visible - remaining
+        # flush: the hold-back plus r_bound zeros become visible
+        n_visible = (received + r_bound) - consumed - r_bound
+        r = rs.config.integer_stretched_kernel_radius
+        start_row = r_bound + consumed - r
+        window = padded[start_row : start_row + n_visible + 2 * r]
+        _, _, frames = rs.resample(window, n_visible)
+        host_frames.append(frames)
+        want = np.concatenate(host_frames, axis=0)
+        np.testing.assert_array_equal(got[s], want, err_msg=f"stream {s}")
+
+
+def test_farm_rejects_bad_adjust():
+    farm = UniformStreamFarm(2, 2, 44100, 44100, 44100, chunk_frames=128, interpret=True)
+    assert not farm.adjust(192000, 8000)      # radius beyond bound
+    assert farm.adjust(44100, 48000)          # fine
