@@ -1,0 +1,132 @@
+"""State checkpoint/resume for every stateful API.
+
+The reference's state is two POD structs that are trivially copyable, which it
+exploits for transactional rollback (clownresampler.h:1186-1191) and which
+users exploit for save/restore. Here the equivalents are explicit: every
+stateful object serialises to a plain dict of ints/arrays (JSON- and
+npz-friendly) and restores exactly — resuming a stream mid-flight produces
+bit-identical continuation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from clownresampler_tpu.configure import Configuration
+from clownresampler_tpu.farm import UniformStreamFarm
+from clownresampler_tpu.highlevel import HighLevelResampler
+from clownresampler_tpu.lowlevel import LowLevelResampler
+
+
+def _config_dict(cfg: Configuration) -> dict:
+    return {
+        "stretched_kernel_radius": cfg.stretched_kernel_radius,
+        "integer_stretched_kernel_radius": cfg.integer_stretched_kernel_radius,
+        "stretched_kernel_radius_delta": cfg.stretched_kernel_radius_delta,
+        "kernel_step_size": cfg.kernel_step_size,
+        "radius": cfg.radius,
+        "resolution": cfg.resolution,
+    }
+
+
+def _config_from(d: dict) -> Configuration:
+    return Configuration(**d)
+
+
+def save_lowlevel(rs: LowLevelResampler) -> dict[str, Any]:
+    return {
+        "kind": "lowlevel",
+        "channels": rs.channels,
+        "position_integer": rs.position_integer,
+        "position_fractional": rs.position_fractional,
+        "increment": rs.increment,
+        "config": _config_dict(rs.config),
+        "max_taps": rs._max_taps,
+    }
+
+
+def load_lowlevel(d: dict[str, Any]) -> LowLevelResampler:
+    assert d["kind"] == "lowlevel"
+    rs = LowLevelResampler(channels=d["channels"])
+    rs.position_integer = d["position_integer"]
+    rs.position_fractional = d["position_fractional"]
+    rs.increment = d["increment"]
+    rs.config = _config_from(d["config"])
+    rs._max_taps = d["max_taps"]
+    return rs
+
+
+def save_highlevel(rs: HighLevelResampler) -> dict[str, Any]:
+    return {
+        "kind": "highlevel",
+        "low_level": save_lowlevel(rs.low_level),
+        "input_buffer": rs.input_buffer.copy(),
+        "input_buffer_start": rs.input_buffer_start,
+        "input_buffer_end": rs.input_buffer_end,
+        "maximum_integer_stretched_kernel_radius": rs.maximum_integer_stretched_kernel_radius,
+        "leading_padding_frames_needed": rs.leading_padding_frames_needed,
+        "trailing_padding_frames_remaining": rs.trailing_padding_frames_remaining,
+        "buffer_total_samples": rs.buffer_total_samples,
+    }
+
+
+def load_highlevel(d: dict[str, Any]) -> HighLevelResampler:
+    assert d["kind"] == "highlevel"
+    return HighLevelResampler(
+        low_level=load_lowlevel(d["low_level"]),
+        input_buffer=np.array(d["input_buffer"], dtype=np.int16),
+        input_buffer_start=d["input_buffer_start"],
+        input_buffer_end=d["input_buffer_end"],
+        maximum_integer_stretched_kernel_radius=d["maximum_integer_stretched_kernel_radius"],
+        leading_padding_frames_needed=d["leading_padding_frames_needed"],
+        trailing_padding_frames_remaining=d["trailing_padding_frames_remaining"],
+        buffer_total_samples=d["buffer_total_samples"],
+    )
+
+
+def save_farm(farm: UniformStreamFarm) -> dict[str, Any]:
+    return {
+        "kind": "farm",
+        "n_streams": farm.n_streams,
+        "channels": farm.channels,
+        "chunk_frames": farm.chunk_frames,
+        "interpret": farm.interpret,
+        "position_integer": farm.position_integer,
+        "position_fractional": farm.position_fractional,
+        "increment": farm.increment,
+        "config": _config_dict(farm.config),
+        "radius_bound": farm._radius_bound,
+        "staging": farm._staging.copy(),
+        "fill": farm._fill,
+        "model_radius": farm.model.radius,
+        "model_resolution": farm.model.resolution,
+    }
+
+
+def load_farm(d: dict[str, Any]) -> UniformStreamFarm:
+    assert d["kind"] == "farm"
+    from clownresampler_tpu.models import KernelModel
+
+    farm = UniformStreamFarm.__new__(UniformStreamFarm)
+    farm.n_streams = d["n_streams"]
+    farm.channels = d["channels"]
+    farm.chunk_frames = d["chunk_frames"]
+    farm.interpret = d["interpret"]
+    farm.model = KernelModel(d["model_radius"], d["model_resolution"])
+    import jax.numpy as jnp
+
+    farm._table = jnp.asarray(farm.model.table())
+    farm.position_integer = d["position_integer"]
+    farm.position_fractional = d["position_fractional"]
+    farm.increment = d["increment"]
+    farm.config = _config_from(d["config"])
+    farm._plan = None
+    farm._radius_bound = d["radius_bound"]
+    farm._max_taps = -(-2 * farm._radius_bound // 8) * 8
+    farm._staging = np.array(d["staging"], dtype=np.int32)
+    farm._capacity = farm._staging.shape[0]
+    farm._lanes = farm._staging.shape[1]
+    farm._fill = d["fill"]
+    return farm

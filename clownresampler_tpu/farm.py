@@ -34,6 +34,7 @@ from clownresampler_tpu.ops.pallas_resample import (
     LANES,
     plan_uniform,
     resample_integer_stride,
+    resample_uniform_lanes_general,
     resample_uniform_lanes_tiled,
     window_rows_needed,
 )
@@ -123,7 +124,7 @@ class UniformStreamFarm:
 
     def _launch(self, n_out: int) -> np.ndarray:
         """Run the best kernel for the current plan over the staging buffer."""
-        n_pad = _round_up(max(n_out, 64), 64)
+        n_pad = _round_up(max(n_out, 128), 128)
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
         # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
         # before the data, so shift launch positions by the difference when
@@ -148,12 +149,10 @@ class UniformStreamFarm:
                 self._table, x, state, max_taps=self._max_taps, n_out=n_pad, d=plan["d"]
             )
         else:
-            n = jnp.arange(n_pad, dtype=jnp.int32)
-            pos, frac = fx.positions_from_state(
-                state.position_integer, state.position_fractional,
-                state.cfg.increment_hi, state.cfg.increment_lo, n,
+            out, _ = resample_uniform_lanes_general(
+                self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                interpret=self.interpret,
             )
-            out = convolve_frames(self._table, x, pos, frac, state.cfg, self._max_taps)
         return np.asarray(out)[:n_out]
 
     def _emit(self, total_frames: int) -> np.ndarray:

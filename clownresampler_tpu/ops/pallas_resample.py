@@ -22,12 +22,14 @@ eps in [0, CAND). The kernel performs ONE 8-aligned dynamic load per tile
 sublane roll to cancel the misalignment, and then every tap/candidate window
 is a *static* slice — all VPU-friendly aligned vector ops, no gathers.
 
-Kernel applicability: d in {0, 1}, i.e. increment < 2*65536 — every upsample
-and all sub-2x downsamples (the headline 48k->44.1k included). Exact integer
-strides (increment fractional part == 0, e.g. 2:1 96k->48k) use an XLA
-strided-slice formulation (``resample_integer_stride``) that needs no gather
-either. Remaining exotic ratios fall back to the ops.convolve oracle path.
-All paths are bit-exact (tests/test_pallas.py).
+Kernel coverage (plan_uniform):
+  tiled   — d = increment>>16 in {0,1}: every upsample and all sub-2x
+            downsamples (the headline 48k->44.1k included); fastest path.
+  strided — exact integer strides (fraction == 0, e.g. 2:1 96k->48k): an XLA
+            static-strided-slice formulation, no gather needed.
+  general — everything else (wide non-integer downsampling, e.g. 44.1k->8k):
+            per-frame aligned load + roll with taps on the sublane axis.
+All paths are bit-exact vs ops.convolve (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -197,6 +199,9 @@ def resample_uniform_lanes_tiled(
     rows, kvals, q, eps, tile_rows = precompute_launch(
         table, state, max_taps=max_taps, n_out=n_out
     )
+    # Frames past the caller's natural count are padding whose results are
+    # discarded; clamp their window bases so the aligned loads stay in bounds.
+    tile_rows = jnp.clip(tile_rows, 0, max(s - w_load, 0))
     kv = kvals                                                   # (N, T)
     meta = jnp.stack([eps, q], axis=1)                           # (N, 2)
     meta = jnp.pad(meta, ((0, 0), (0, LANES - 2)))               # (N, 128)
@@ -223,6 +228,99 @@ def resample_uniform_lanes_tiled(
         out_shape=jax.ShapeDtypeStruct((n_out, l), jnp.int32),
         interpret=interpret,
     )(tile_rows, meta, kv, x)
+    return out, rows
+
+
+# ---------------------------------------------------------------------------
+# General-stride kernel: any increment (wide non-integer downsampling)
+# ---------------------------------------------------------------------------
+
+def _kernel_general(
+    rows_ref,       # scalar prefetch (N,): per-frame window base row
+    meta_ref,       # (8*G, 128) block: col 1 = q (col 0 unused here)
+    kv_ref,         # (T, 8*G) block: kernel values, taps on sublanes
+    x_ref,          # (S, 128) lane-tile block, int32
+    out_ref,        # (8*G, 128) block
+    *,
+    max_taps: int,
+    w_load: int,    # static aligned window rows (power of two >= T+8)
+    group: int,
+):
+    """Per-frame windows with taps on the sublane axis.
+
+    For increments >= 2*2^16 consecutive frames' windows no longer overlap
+    enough to share a tile load, so each frame does its own aligned load +
+    roll; the (T, 128) window multiply-accumulates against a (T, 1) kernel
+    column (static lane slice of the pre-transposed kv block) and reduces
+    over sublanes. Any ratio the reference accepts works here.
+    """
+    jg = pl.program_id(1)
+
+    for g in range(group):
+        rows_lo = jg * (FRAMES_PER_TILE * group) + g * FRAMES_PER_TILE
+        accs = []
+        for k in range(FRAMES_PER_TILE):
+            base = rows_ref[rows_lo + k]
+            a = pl.multiple_of((base // 8) * 8, 8)
+            window = x_ref[pl.ds(a, w_load), :]
+            r = pltpu.roll(window, -(base - a), axis=0)
+            win = r[:max_taps]                                   # (T, 128)
+            kcol = kv_ref[:, g * FRAMES_PER_TILE + k : g * FRAMES_PER_TILE + k + 1]
+            terms = _macc(win, kcol, jnp.zeros_like(win))
+            accs.append(jnp.sum(terms, axis=0, keepdims=True))   # (1, 128)
+        acc = jnp.concatenate(accs, axis=0)                      # (8, 128)
+        lo = g * FRAMES_PER_TILE
+        q = meta_ref[lo : lo + FRAMES_PER_TILE, 1:2]
+        out_ref[lo : lo + FRAMES_PER_TILE, :] = fx.mul_shift15(acc, q)
+
+
+@partial(jax.jit, static_argnames=("max_taps", "n_out", "group", "interpret"))
+def resample_uniform_lanes_general(
+    table,
+    x,                   # (S, L) int32; padded so aligned loads fit (w_load rows)
+    state: DeviceState,
+    *,
+    max_taps: int,
+    n_out: int,          # multiple of 128
+    group: int = 16,     # fixed: 16*8 = 128 frames/step so the transposed kv
+                         # block has a 128-lane tile (Mosaic blocking rule)
+    interpret: bool = False,
+):
+    """Any-ratio uniform-lane resample (used for increment >= 2^17, lo != 0)."""
+    assert group == 16, "kv block needs a 128-frame grid step"
+    s, l = x.shape
+    assert l % LANES == 0 and n_out % (FRAMES_PER_TILE * group) == 0
+    w_load = 16
+    while w_load < max_taps + 8:
+        w_load *= 2
+    rows, kvals, q, eps, _tile_rows = precompute_launch(
+        table, state, max_taps=max_taps, n_out=n_out
+    )
+    # Clamp padding frames' window bases into bounds (results discarded).
+    rows_launch = jnp.clip(rows, 0, max(s - w_load, 0))
+    kv = kvals.T                                                 # (T, N)
+    meta = jnp.stack([eps, q], axis=1)
+    meta = jnp.pad(meta, ((0, 0), (0, LANES - 2)))
+
+    step_frames = FRAMES_PER_TILE * group
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l // LANES, n_out // step_frames),
+        in_specs=[
+            pl.BlockSpec((step_frames, LANES), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_taps, step_frames), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (step_frames, LANES), lambda i, j, *_: (j, i), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        partial(_kernel_general, max_taps=max_taps, w_load=w_load, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, l), jnp.int32),
+        interpret=interpret,
+    )(rows_launch, meta, kv, x)
     return out, rows
 
 
@@ -273,7 +371,7 @@ def plan_uniform(increment: int, n_out: int) -> dict:
 
     tiled   — Pallas kernel; d = increment>>16 in {0,1}
     strided — XLA static-strided path; increment fractional part == 0, d >= 2
-    oracle  — ops.convolve gather fallback (exotic: non-integer stride >= 2x)
+    general — Pallas per-frame kernel; any other ratio (wide downsampling)
     """
     d = increment >> 16
     lo = increment & 0xFFFF
@@ -285,4 +383,4 @@ def plan_uniform(increment: int, n_out: int) -> dict:
         return {"kernel": "tiled", "d": d, "cand": min(cand, 8)}
     if lo == 0:
         return {"kernel": "strided", "d": d}
-    return {"kernel": "oracle"}
+    return {"kernel": "general", "d": d}

@@ -3,6 +3,7 @@
 from clownresampler_tpu.parallel.sharding import (
     make_mesh,
     sharded_resample_batch,
+    sharded_uniform_resample,
 )
 
-__all__ = ["make_mesh", "sharded_resample_batch"]
+__all__ = ["make_mesh", "sharded_resample_batch", "sharded_uniform_resample"]

@@ -140,3 +140,43 @@ def sharded_resample_batch(
         per_shard, mesh=mesh, in_specs=specs_in, out_specs=specs_out, check_vma=False
     )
     return jax.jit(fn)(table, padded_inputs, total_input_frames, states, output_quota)
+
+
+def sharded_uniform_resample(
+    mesh: Mesh,
+    table,
+    x,                   # (S, L) int32 lane-major; L sharded over dp
+    state: DeviceState,  # scalar state, replicated
+    *,
+    max_taps: int,
+    n_out: int,
+    d: int,
+    cand: int,
+    interpret: bool = False,
+):
+    """Multi-chip fast path: shard the lane (stream x channel) axis over dp.
+
+    Streams share nothing, so this is pure data parallelism: each chip runs
+    the fused tiled kernel (ops/pallas_resample.py) on its lane slice with the
+    replicated scalar state and LUT — zero collectives, linear ICI scaling.
+    Returns (n_out, L) int32 sharded the same way as the input.
+    """
+    from clownresampler_tpu.ops.pallas_resample import resample_uniform_lanes_tiled
+
+    def per_shard(table, x_local, st):
+        out, _rows = resample_uniform_lanes_tiled(
+            table, x_local, st,
+            max_taps=max_taps, n_out=n_out, d=d, cand=cand, interpret=interpret,
+        )
+        return out
+
+    specs_in = (
+        P(),
+        P(None, "dp"),
+        jax.tree.map(lambda _: P(), state),
+    )
+    fn = shard_map(
+        per_shard, mesh=mesh, in_specs=specs_in, out_specs=P(None, "dp"),
+        check_vma=False,
+    )
+    return jax.jit(fn)(table, x, state)

@@ -1,0 +1,78 @@
+"""Checkpoint/resume: restored state continues bit-identically."""
+
+import numpy as np
+
+from clownresampler_tpu.checkpoint import (
+    load_farm,
+    load_highlevel,
+    load_lowlevel,
+    save_farm,
+    save_highlevel,
+    save_lowlevel,
+)
+from clownresampler_tpu.farm import UniformStreamFarm
+from clownresampler_tpu.highlevel import HighLevelResampler
+from clownresampler_tpu.lowlevel import LowLevelResampler
+
+
+def test_lowlevel_roundtrip_continues():
+    rng = np.random.default_rng(0)
+    data = rng.integers(-32768, 32768, size=(500, 2)).astype(np.int16)
+    r = 17
+    padded = np.concatenate([np.zeros((r, 2), np.int16), data, np.zeros((r, 2), np.int16)])
+
+    a = LowLevelResampler.init(2, 44100, 8000, 44100)
+    _, rem, first = a.resample(padded[: 300 + 2 * r], 300)
+    b = load_lowlevel(save_lowlevel(a))
+
+    consumed = 300 - rem
+    _, _, rest_a = a.resample(padded[consumed:], 500 - consumed)
+    _, _, rest_b = b.resample(padded[consumed:], 500 - consumed)
+    np.testing.assert_array_equal(rest_a, rest_b)
+
+
+def test_highlevel_roundtrip_continues():
+    rng = np.random.default_rng(1)
+    data = rng.integers(-32768, 32768, size=(800, 2)).astype(np.int16)
+    state = {"c": 0}
+
+    def cb(n):
+        give = min(n, data.shape[0] - state["c"])
+        out = data[state["c"] : state["c"] + give]
+        state["c"] += give
+        return out
+
+    a = HighLevelResampler.init(2, 44100, 8000, 44100)
+    got_a = []
+    a.resample(cb, output_limit=100, _collect=got_a)
+
+    b = load_highlevel(save_highlevel(a))
+    cont_a, cont_b = [], []
+    state_b = dict(state)
+
+    def cb_b(n):
+        give = min(n, data.shape[0] - state_b["c"])
+        out = data[state_b["c"] : state_b["c"] + give]
+        state_b["c"] += give
+        return out
+
+    a.resample(cb, _collect=cont_a)
+    a.resample_end(_collect=cont_a)
+    b.resample(cb_b, _collect=cont_b)
+    b.resample_end(_collect=cont_b)
+    np.testing.assert_array_equal(
+        np.concatenate(cont_a, axis=0), np.concatenate(cont_b, axis=0)
+    )
+
+
+def test_farm_roundtrip_continues():
+    rng = np.random.default_rng(2)
+    data = rng.integers(-32768, 32768, size=(3, 600, 2)).astype(np.int16)
+    a = UniformStreamFarm(3, 2, 48000, 44100, chunk_frames=256, interpret=True)
+    a.process(data[:, :256])
+    b = load_farm(save_farm(a))
+    out_a = [a.process(data[:, 256:512]), a.process(data[:, 512:]), a.flush()]
+    out_b = [b.process(data[:, 256:512]), b.process(data[:, 512:]), b.flush()]
+    np.testing.assert_array_equal(
+        np.concatenate(out_a, axis=1), np.concatenate(out_b, axis=1)
+    )

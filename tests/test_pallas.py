@@ -16,6 +16,7 @@ from clownresampler_tpu.ops.convolve import convolve_frames
 from clownresampler_tpu.ops.pallas_resample import (
     plan_uniform,
     resample_integer_stride,
+    resample_uniform_lanes_general,
     resample_uniform_lanes_tiled,
     window_rows_needed,
 )
@@ -30,6 +31,8 @@ TILED_RATIOS = [
 ]
 
 STRIDED_RATIOS = [(96000, 48000), (2, 1), (3, 1), (132300, 44100)]
+
+GENERAL_RATIOS = [(44100, 8000), (44100, 7000), (40000, 997), (44100, 19000)]
 
 
 def _setup(in_rate, out_rate, n_out=64, lanes=128, seed=3):
@@ -117,7 +120,7 @@ def test_plan_coverage():
         plan = plan_uniform(inc, 64)
         assert plan["kernel"] == "tiled" and 1 <= plan["cand"] <= 8
     assert plan_uniform(131072, 64)["kernel"] == "strided"
-    assert plan_uniform(361267, 64)["kernel"] == "oracle"  # 44.1k->8k
+    assert plan_uniform(361267, 64)["kernel"] == "general"  # 44.1k->8k
     assert plan_uniform(5 << 16, 64)["kernel"] == "strided"
 
 
@@ -140,3 +143,17 @@ def test_window_rows_needed_covers_tiles():
         base = tiles[:, 0]
         worst = (tiles - base[:, None]).max() + (max_taps - 1)
         assert worst + 7 < w + 0 or worst < w, (in_rate, out_rate, worst, w)
+
+
+@pytest.mark.parametrize("in_rate,out_rate", GENERAL_RATIOS)
+def test_general_kernel_bit_exact(in_rate, out_rate):
+    table = jnp.asarray(lanczos_kernel_table())
+    n_out = 128
+    cfg, inc, state, max_taps, x = _setup(in_rate, out_rate, n_out=n_out)
+    plan = plan_uniform(inc, n_out)
+    assert plan["kernel"] == "general", plan
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _rows = resample_uniform_lanes_general(
+        table, x, state, max_taps=max_taps, n_out=n_out, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), want, err_msg=str((in_rate, out_rate)))
