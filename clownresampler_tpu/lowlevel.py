@@ -127,6 +127,71 @@ def resample_chunk(
     return out, produced, consumed, new_state, input_exhausted
 
 
+@partial(jax.jit, static_argnames=("max_taps", "n_out", "radius"))
+def resample_scan(
+    table,
+    chunks,              # (K, n_in, L) int16/int32: K successive input chunks
+    state: DeviceState,  # cfg radius must equal `radius`
+    *,
+    max_taps: int,
+    n_out: int,          # static per-chunk output cap; use
+                         # ((n_in + 2*radius) << 16) // increment + slack so the
+                         # initial radius backlog can drain through any one step
+    radius: int,         # static integer_stretched_kernel_radius
+):
+    """Whole-stream resampling as ONE jitted lax.scan over input chunks.
+
+    The reference's high-level layer refills a staging buffer and memmoves a
+    2*radius dead-zone halo between refills (clownresampler.h:1143-1154); here
+    the halo is the scan carry: each step assembles [halo | chunk], resamples
+    every frame visible against n_in (position carry keeps the leftover
+    fraction in the state, 1063-1068), and hands the trailing 2*radius rows to
+    the next step. No host round-trips between chunks — the entire stream
+    pipeline is a single device computation.
+
+    Returns (outputs (K, n_out, L) int32 zero-masked, produced (K,), state').
+    Leading edge: seed the first halo with zeros (done here); trailing edge:
+    append a radius-frame zero chunk to flush, as ResampleEnd does (1242-1250).
+    """
+    k, n_in, l = chunks.shape
+    halo0 = jnp.zeros((2 * radius, l), chunks.dtype)
+
+    # Buffer row r maps to stream frame r - 2*radius (the halo occupies the
+    # first 2*radius rows), while the C window contract puts stream frame 0 at
+    # row `radius` (clownresampler.h:725-733). Bias positions by +radius going
+    # in and strip it from the returned state.
+    state = DeviceState(
+        position_integer=state.position_integer + jnp.int32(radius),
+        position_fractional=state.position_fractional,
+        cfg=state.cfg,
+    )
+
+    def step(carry, chunk):
+        st, halo = carry
+        buffer = jnp.concatenate([halo, chunk], axis=0)
+        out, produced, _consumed, st2, _flag = resample_chunk(
+            table,
+            buffer,
+            jnp.int32(n_in),
+            st,
+            jnp.int32(1 << 30),
+            max_taps=max_taps,
+            n_out=n_out,
+        )
+        new_halo = jax.lax.slice_in_dim(buffer, n_in, n_in + 2 * radius, axis=0)
+        return (st2, new_halo), (out, produced)
+
+    (state_out, _halo), (outputs, produced) = jax.lax.scan(
+        step, (state, halo0), chunks
+    )
+    state_out = DeviceState(
+        position_integer=state_out.position_integer - jnp.int32(radius),
+        position_fractional=state_out.position_fractional,
+        cfg=state_out.cfg,
+    )
+    return outputs, produced, state_out
+
+
 # ---------------------------------------------------------------------------
 # Host streaming API (exact-bookkeeping mirror of the C low-level API)
 # ---------------------------------------------------------------------------

@@ -120,3 +120,26 @@ def test_farm_rejects_bad_adjust():
     farm = UniformStreamFarm(2, 2, 44100, 44100, 44100, chunk_frames=128, interpret=True)
     assert not farm.adjust(192000, 8000)      # radius beyond bound
     assert farm.adjust(44100, 48000)          # fine
+
+
+def test_mixed_farm_matches_host():
+    from clownresampler_tpu.farm import MixedStreamFarm
+
+    rng = np.random.default_rng(33)
+    ch, total = 2, 512
+    specs = [(48000, 44100), (8000, 44100), (48000, 44100), (96000, 48000)]
+    data = [rng.integers(-32768, 32768, size=(total, ch)).astype(np.int16) for _ in specs]
+
+    farm = MixedStreamFarm(specs, ch, chunk_frames=256, interpret=True)
+    outs = [[] for _ in specs]
+    for off in (0, 256):
+        res = farm.process([d[off : off + 256] for d in data])
+        for i, r in enumerate(res):
+            outs[i].append(r)
+    for i, r in enumerate(farm.flush()):
+        outs[i].append(r)
+
+    for i, (in_rate, out_rate) in enumerate(specs):
+        got = np.concatenate(outs[i], axis=0)
+        want = _host_reference(data[i], ch, in_rate, out_rate, max(in_rate, out_rate))
+        np.testing.assert_array_equal(got, want, err_msg=f"stream {i}")
