@@ -133,6 +133,7 @@ def _kernel_tiled(
     cand: int,      # static candidate count (1 + max eps)
     w_load: int,    # static aligned window rows (window_rows_needed)
     group: int,     # static frame-tiles per grid step (amortises block DMAs)
+    clamp_s16: bool,
 ):
     jg = pl.program_id(1)
 
@@ -167,12 +168,19 @@ def _kernel_tiled(
                     )
             acc = _macc(win, kv_ref[lo:hi, t : t + 1], acc)
 
-        out_ref[lo:hi, :] = fx.mul_shift15(acc, q)               # 17.15 normalise
+        res = fx.mul_shift15(acc, q)                             # 17.15 normalise
+        if clamp_s16:
+            # Fused output clamp (what the reference's examples do on every
+            # frame, clownresampler.h:96-100) — halves output HBM traffic.
+            res = jnp.clip(res, -0x7FFF, 0x7FFF).astype(jnp.int16)
+        out_ref[lo:hi, :] = res
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_taps", "n_out", "d", "cand", "group", "interpret"),
+    static_argnames=(
+        "max_taps", "n_out", "d", "cand", "group", "clamp_s16", "interpret"
+    ),
 )
 def resample_uniform_lanes_tiled(
     table,
@@ -184,6 +192,7 @@ def resample_uniform_lanes_tiled(
     d: int,              # static: increment >> 16, must be 0 or 1
     cand: int,           # static: 1 + max row jitter within an 8-frame tile
     group: int = 8,      # static frame-tiles per grid step
+    clamp_s16: bool = False,  # fuse the s16 output clamp (serving path)
     interpret: bool = False,
 ):
     """Fast-path uniform-ratio resample; requires increment < 2^17.
@@ -222,10 +231,13 @@ def resample_uniform_lanes_tiled(
     )
     out = pl.pallas_call(
         partial(
-            _kernel_tiled, max_taps=max_taps, d=d, cand=cand, w_load=w_load, group=group
+            _kernel_tiled, max_taps=max_taps, d=d, cand=cand, w_load=w_load,
+            group=group, clamp_s16=clamp_s16,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, l), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, l), jnp.int16 if clamp_s16 else jnp.int32
+        ),
         interpret=interpret,
     )(tile_rows, meta, kv, x)
     return out, rows

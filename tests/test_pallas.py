@@ -157,3 +157,21 @@ def test_general_kernel_bit_exact(in_rate, out_rate):
         table, x, state, max_taps=max_taps, n_out=n_out, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), want, err_msg=str((in_rate, out_rate)))
+
+
+def test_tiled_kernel_clamped_output():
+    """clamp_s16=True == clipping the wide output (fused serving path)."""
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg, inc, state, max_taps, x = _setup(48000, 44100, seed=44)
+    plan = plan_uniform(inc, 64)
+    wide, _ = resample_uniform_lanes_tiled(
+        table, x, state, max_taps=max_taps, n_out=64,
+        d=plan["d"], cand=plan["cand"], interpret=True,
+    )
+    clamped, _ = resample_uniform_lanes_tiled(
+        table, x, state, max_taps=max_taps, n_out=64,
+        d=plan["d"], cand=plan["cand"], clamp_s16=True, interpret=True,
+    )
+    assert clamped.dtype == jnp.int16
+    want = np.clip(np.asarray(wide), -0x7FFF, 0x7FFF).astype(np.int16)
+    np.testing.assert_array_equal(np.asarray(clamped), want)
