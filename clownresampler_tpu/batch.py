@@ -19,10 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clownresampler_tpu import fixedpoint as fx
 from clownresampler_tpu.configure import Configuration
 from clownresampler_tpu.lowlevel import DeviceState, make_device_state, resample_chunk
-from clownresampler_tpu.ops.convolve import ConfigScalars
 
 
 def stack_states(states: list[DeviceState]) -> DeviceState:

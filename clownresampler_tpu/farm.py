@@ -29,7 +29,6 @@ from clownresampler_tpu import fixedpoint as fx
 from clownresampler_tpu.configure import Configuration, configure
 from clownresampler_tpu.lowlevel import make_device_state
 from clownresampler_tpu.models import DEFAULT_MODEL, KernelModel
-from clownresampler_tpu.ops.convolve import convolve_frames
 from clownresampler_tpu.ops.pallas_resample import (
     LANES,
     plan_uniform,

@@ -20,7 +20,7 @@ crossing for bulk use; they are built on the same machinery.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np

@@ -28,7 +28,7 @@ not counted in ``total_input_frames``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable, NamedTuple, Optional
 

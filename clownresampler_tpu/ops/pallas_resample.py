@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clownresampler_tpu import fixedpoint as fx
 from clownresampler_tpu.lowlevel import DeviceState
-from clownresampler_tpu.ops.convolve import convolve_frames, window_geometry
+from clownresampler_tpu.ops.convolve import window_geometry
 
 LANES = 128
 FRAMES_PER_TILE = 8

@@ -17,12 +17,10 @@ Both compose on one 2-D mesh; all compute stays the bit-exact chunk kernel.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from clownresampler_tpu.lowlevel import (

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""On-hardware verification: golden bit-exactness through the COMPILED kernels.
+
+The pytest suite proves bit-exactness on the CPU mesh (Pallas in interpreter
+mode); this tool re-proves it on the real TPU with compiled kernels — the
+configuration the benchmarks run. Prints one PASS/FAIL line per check.
+
+Run under the default (axon TPU) environment: python tools/verify_tpu.py
+"""
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GOLDEN = {
+    (8000, 44100): "949de6c35cf5bd547e5a1e9a04233c14",
+    (44100, 8000): "470b7980951007f7074affc666424004",
+}
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from clownresampler_tpu import fixedpoint as fx
+    from clownresampler_tpu.configure import configure
+    from clownresampler_tpu.farm import UniformStreamFarm
+    from clownresampler_tpu.lowlevel import make_device_state
+    from clownresampler_tpu.models import lanczos_kernel_table
+    from clownresampler_tpu.ops.convolve import convolve_frames
+    from clownresampler_tpu.ops.pallas_resample import (
+        plan_uniform,
+        resample_integer_stride,
+        resample_uniform_lanes_general,
+        resample_uniform_lanes_tiled,
+    )
+
+    fixtures = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+    pcm = np.fromfile(os.path.join(fixtures, "test_pcm_s16le.raw"), dtype="<i2").reshape(-1, 2)
+    failures = 0
+
+    # 1. Golden configs through the farm (compiled Pallas/general paths).
+    for (in_rate, out_rate), md5_want in GOLDEN.items():
+        farm = UniformStreamFarm(4, 2, in_rate, out_rate, max(in_rate, out_rate))
+        data = np.broadcast_to(pcm, (4, *pcm.shape)).copy()
+        outs = []
+        for off in range(0, pcm.shape[0], 4096):
+            outs.append(farm.process(data[:, off : off + 4096]))
+        outs.append(farm.flush())
+        got = np.concatenate(outs, axis=1)
+        md5 = hashlib.md5(np.asarray(got[2], dtype="<i4").tobytes()).hexdigest()
+        ok = md5 == md5_want
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'} farm golden {in_rate}->{out_rate} md5={md5}")
+
+    # 2. Compiled kernels vs oracle across ratio classes.
+    table = jnp.asarray(lanczos_kernel_table())
+    rng = np.random.default_rng(7)
+    for in_rate, out_rate in [(48000, 44100), (8000, 44100), (96000, 48000), (44100, 8000)]:
+        cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+        inc = fx.calculate_ratio(in_rate, out_rate)
+        state = make_device_state(0, 0x4321, cfg, inc)
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        n_out = 512
+        s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 96
+        s = -(-s // 16) * 16
+        x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 256)).astype(np.int32))
+        plan = plan_uniform(inc, n_out)
+        if plan["kernel"] == "tiled":
+            got, _ = resample_uniform_lanes_tiled(
+                table, x, state, max_taps=max_taps, n_out=n_out,
+                d=plan["d"], cand=plan["cand"])
+        elif plan["kernel"] == "strided":
+            got, _ = resample_integer_stride(
+                table, x, state, max_taps=max_taps, n_out=n_out, d=plan["d"])
+        else:
+            got, _ = resample_uniform_lanes_general(
+                table, x, state, max_taps=max_taps, n_out=n_out)
+        n = jnp.arange(n_out, dtype=jnp.int32)
+        pos, frac = fx.positions_from_state(
+            state.position_integer, state.position_fractional,
+            state.cfg.increment_hi, state.cfg.increment_lo, n)
+        want = convolve_frames(table, x, pos, frac, state.cfg, max_taps)
+        ok = np.array_equal(np.asarray(got), np.asarray(want))
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'} compiled {plan['kernel']} kernel {in_rate}->{out_rate}")
+
+    print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
