@@ -17,7 +17,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from clownresampler_tpu.configure import Configuration
 from clownresampler_tpu.lowlevel import DeviceState, make_device_state, resample_chunk
@@ -61,16 +60,3 @@ def resample_batch(
     )
     return jax.vmap(fn)(padded_inputs, total_input_frames, states, output_quota)
 
-
-def advance_batch_inputs(
-    padded_inputs: np.ndarray, consumed: np.ndarray, radius: np.ndarray
-) -> None:
-    """Host-side helper: slide each stream's window left by its consumed count
-    (the batched analogue of the high-level dead-zone memmove,
-    clownresampler.h:1143-1154). Operates in place on a numpy staging buffer."""
-    b = padded_inputs.shape[0]
-    for i in range(b):
-        c = int(consumed[i])
-        if c:
-            padded_inputs[i, :-c] = padded_inputs[i, c:]
-            padded_inputs[i, -c:] = 0

@@ -122,7 +122,6 @@ def load_farm(d: dict[str, Any]) -> UniformStreamFarm:
     farm.position_fractional = d["position_fractional"]
     farm.increment = d["increment"]
     farm.config = _config_from(d["config"])
-    farm._plan = None
     farm._radius_bound = d["radius_bound"]
     farm._max_taps = -(-2 * farm._radius_bound // 8) * 8
     farm._staging = np.array(d["staging"], dtype=np.int32)

@@ -101,7 +101,6 @@ class UniformStreamFarm:
     def _set_config(self, cfg: Configuration, increment: int) -> None:
         self.config = cfg
         self.increment = increment
-        self._plan = plan_uniform(increment, 0)
 
     def adjust(self, input_rate: int, output_rate: int, low_pass_rate: Optional[int] = None) -> bool:
         """Mid-stream ratio change (pitch bend); position carries over.
