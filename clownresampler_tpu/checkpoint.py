@@ -18,6 +18,7 @@ from clownresampler_tpu.configure import Configuration
 from clownresampler_tpu.farm import UniformStreamFarm
 from clownresampler_tpu.highlevel import HighLevelResampler
 from clownresampler_tpu.lowlevel import LowLevelResampler
+from clownresampler_tpu.models import KernelModel
 
 
 def _config_dict(cfg: Configuration) -> dict:
@@ -44,12 +45,17 @@ def save_lowlevel(rs: LowLevelResampler) -> dict[str, Any]:
         "increment": rs.increment,
         "config": _config_dict(rs.config),
         "max_taps": rs._max_taps,
+        "model_radius": rs.model.radius,
+        "model_resolution": rs.model.resolution,
     }
 
 
 def load_lowlevel(d: dict[str, Any]) -> LowLevelResampler:
     assert d["kind"] == "lowlevel"
-    rs = LowLevelResampler(channels=d["channels"])
+    rs = LowLevelResampler(
+        channels=d["channels"],
+        model=KernelModel(d["model_radius"], d["model_resolution"]),
+    )
     rs.position_integer = d["position_integer"]
     rs.position_fractional = d["position_fractional"]
     rs.increment = d["increment"]
@@ -107,8 +113,6 @@ def save_farm(farm: UniformStreamFarm) -> dict[str, Any]:
 
 def load_farm(d: dict[str, Any]) -> UniformStreamFarm:
     assert d["kind"] == "farm"
-    from clownresampler_tpu.models import KernelModel
-
     farm = UniformStreamFarm.__new__(UniformStreamFarm)
     farm.n_streams = d["n_streams"]
     farm.channels = d["channels"]

@@ -40,10 +40,6 @@ from clownresampler_tpu.ops.pallas_resample import (
 from clownresampler_tpu.utils import native
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 class UniformStreamFarm:
     """B same-ratio streams, chunked, bit-exact, Pallas-accelerated.
 
@@ -76,9 +72,9 @@ class UniformStreamFarm:
         self.interpret = interpret
         self._table = jnp.asarray(model.table())
 
-        self._lanes = _round_up(n_streams * channels, LANES)
+        self._lanes = fx.round_up(n_streams * channels, LANES)
         radius_bound = max(cfg.integer_stretched_kernel_radius, max_radius or 0)
-        self._max_taps = _round_up(2 * radius_bound, 8)
+        self._max_taps = fx.round_up(2 * radius_bound, 8)
         self._radius_bound = radius_bound
 
         # Host streaming state (exact Python ints) + device scalars per launch.
@@ -89,10 +85,11 @@ class UniformStreamFarm:
         # Staging buffer: [left halo | data ... | load slack]. Row r of the
         # staging buffer is sample_index r in the reference's convolution
         # (clownresampler.h:995): logical stream frame f lives at row f+radius.
-        # Slack covers the tiled kernel's aligned window loads for the rounding
-        # frames past the natural count (up to 64 extra frames at d<=1) plus
-        # alignment; strided/oracle paths clamp their reads instead.
-        slack = 80 + window_rows_needed(self._max_taps, 1, 8)
+        # Slack covers the tiled kernel's aligned loads for padding frames past
+        # the natural count, and the strided path's (n_pad - n_out)*d over-read
+        # (d <= kernel_scale <= radius_bound/radius + 1, so 8*d is bounded by
+        # ~3*radius_bound for the default radius 3).
+        slack = 96 + window_rows_needed(self._max_taps, 1, 8) + 3 * radius_bound
         self._capacity = radius_bound + chunk_frames + radius_bound + slack
         self._staging = np.zeros((self._capacity, self._lanes), np.int32)
         self._fill = radius_bound      # rows of valid data (left zero halo)
@@ -122,7 +119,11 @@ class UniformStreamFarm:
 
     def _launch(self, n_out: int) -> np.ndarray:
         """Run the best kernel for the current plan over the staging buffer."""
-        n_pad = _round_up(max(n_out, 128), 128)
+        plan_probe = plan_uniform(self.increment, 0)
+        # Padding granularity per kernel: tiled needs 8*group=64, the general
+        # kernel needs 128, strided only 8 (minimising its d-scaled over-read).
+        grain = {"tiled": 64, "strided": 8, "general": 128}[plan_probe["kernel"]]
+        n_pad = fx.round_up(max(n_out, grain), grain)
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
         # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
         # before the data, so shift launch positions by the difference when
@@ -212,8 +213,8 @@ class MixedStreamFarm:
 
     ``specs`` is a list of per-stream (input_rate, output_rate[, lpf]) tuples.
     ``process`` takes/returns per-stream lists (outputs differ in length per
-    ratio); ``adjust(i, ...)`` re-rates one stream by migrating it between
-    groups only when its ratio class changes.
+    ratio). Per-stream re-rating is not implemented yet; rebuild the farm (or
+    run the stream through its own UniformStreamFarm and use adjust there).
     """
 
     def __init__(self, specs, channels: int, chunk_frames: int = 4096,

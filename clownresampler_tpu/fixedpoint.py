@@ -22,6 +22,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+def round_up(x: int, m: int) -> int:
+    """Smallest multiple of m >= x (shared alignment helper)."""
+    return -(-x // m) * m
+
+
 # 16.16 layout (clownresampler.h:620).
 FRACTIONAL_BITS = 16
 FRACTIONAL_SIZE = 1 << FRACTIONAL_BITS

@@ -154,6 +154,8 @@ def resample_scan(
     append a radius-frame zero chunk to flush, as ResampleEnd does (1242-1250).
     """
     k, n_in, l = chunks.shape
+    # natural_output_count shifts (n_in - p0) left by 16 in int32.
+    assert n_in < 1 << 14, "scan chunks must be < 2^14 frames (tile longer input)"
     halo0 = jnp.zeros((2 * radius, l), chunks.dtype)
 
     # Buffer row r maps to stream frame r - 2*radius (the halo occupies the
@@ -199,10 +201,6 @@ def resample_scan(
 OutputCallback = Callable[[np.ndarray], bool]
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 @dataclass
 class LowLevelResampler:
     """Stateful host-side mirror of the C low-level API.
@@ -244,7 +242,7 @@ class LowLevelResampler:
         radius_bound = max(
             self.config.integer_stretched_kernel_radius, max_radius or 0
         )
-        self._max_taps = _round_up(2 * radius_bound, 8)
+        self._max_taps = fx.round_up(2 * radius_bound, 8)
         return self
 
     def adjust(
@@ -266,7 +264,7 @@ class LowLevelResampler:
             # The C low-level API permits unrestricted radius growth on Adjust
             # (only the high-level API restricts it, clownresampler.h:1195);
             # growing the static tap bound just recompiles the kernels.
-            self._max_taps = _round_up(2 * cfg.integer_stretched_kernel_radius, 8)
+            self._max_taps = fx.round_up(2 * cfg.integer_stretched_kernel_radius, 8)
         self.increment = fx.calculate_ratio(input_rate, output_rate)
         self.config = cfg
         return True
@@ -295,7 +293,7 @@ class LowLevelResampler:
             t = self.position_fractional + (done * self.increment)
             p0 = self.position_integer + (t >> 16)
             f0 = t & 0xFFFF
-            n_pad = _round_up(tile, 512)
+            n_pad = fx.round_up(tile, 512)
             n = np.arange(n_pad, dtype=np.int64)
             tvec = f0 + n * self.increment
             pos = (p0 + (tvec >> 16)).astype(np.int32)

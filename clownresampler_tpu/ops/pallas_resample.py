@@ -49,10 +49,6 @@ LANES = 128
 FRAMES_PER_TILE = 8
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 # ---------------------------------------------------------------------------
 # XLA-side launch precompute (tiny: O(n_out * taps) ints)
 # ---------------------------------------------------------------------------
@@ -66,6 +62,7 @@ def precompute_launch(table, state: DeviceState, *, max_taps: int, n_out: int):
     clownresampler.h:995), kvals the masked LUT taps (1008-1021), q the 17.15
     reciprocal (1025), eps/tile_rows the Bresenham tile decomposition.
     """
+    assert n_out % FRAMES_PER_TILE == 0, "n_out must be a multiple of 8"
     cfg = state.cfg
     n = jnp.arange(n_out, dtype=jnp.int32)
     pos, frac = fx.positions_from_state(
@@ -358,14 +355,22 @@ def resample_integer_stride(
     the input — plain vectorised XLA, no gather, no Pallas needed.
     """
     s, l = x.shape
+    span = (n_out - 1) * d + max_taps
+    if span + 8 > s:
+        raise ValueError(
+            f"input has {s} rows but the strided span needs {span + 8}; pad the"
+            f" input or reduce n_out (n_out={n_out}, d={d}, taps={max_taps})"
+        )
     rows, kvals, q, _eps, _tile = precompute_launch(
         table, state, max_taps=max_taps, n_out=n_out
     )
     k0 = kvals[0]                      # (T,) — constant across frames
     q0 = q[0]
-    # row0 is dynamic (position state); slice once dynamically, then stride.
-    row0 = rows[0]
-    span = (n_out - 1) * d + max_taps
+    # row0 is dynamic (position state); slice once, then stride. Clamping only
+    # ever moves the window when padding frames (results discarded) would read
+    # past the end — legal frames satisfy row0 + span <= s by the padding
+    # contract plus the check above.
+    row0 = jnp.minimum(rows[0], s - span)
     xwin = jax.lax.dynamic_slice_in_dim(x, row0, span, axis=0)
     acc = jnp.zeros((n_out, l), jnp.int32)
     for t in range(max_taps):

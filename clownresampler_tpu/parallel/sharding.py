@@ -72,6 +72,9 @@ def sharded_resample_batch(
     """
     sp = mesh.shape["sp"]
     assert n_out % sp == 0, "n_out must divide over the sp axis"
+    # positions_from_state/_shift_state require frame offsets < 2^15 to stay
+    # int32-exact; n0 and the psum'd produced count both reach n_out.
+    assert n_out <= 1 << 14, "n_out must be <= 2^14 per sharded launch"
     n_local = n_out // sp
 
     def per_shard(table, x, n_in, state, quota):

@@ -67,7 +67,7 @@ def stage_chunk(chunk: np.ndarray, staging: np.ndarray, row_off: int) -> None:
             chunk.ctypes.data, staging.ctypes.data, b, n, c, staging.shape[1], row_off
         )
     else:
-        staging[row_off : row_off + n] = (
+        staging[row_off : row_off + n, : b * c] = (
             chunk.transpose(1, 0, 2).reshape(n, b * c).astype(np.int32)
         )
 

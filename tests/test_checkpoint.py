@@ -76,3 +76,20 @@ def test_farm_roundtrip_continues():
     np.testing.assert_array_equal(
         np.concatenate(out_a, axis=1), np.concatenate(out_b, axis=1)
     )
+
+
+def test_lowlevel_roundtrip_preserves_model():
+    """Review regression: restoring a non-default-model resampler must keep
+    its kernel table (previously silently reverted to the default LUT)."""
+    from clownresampler_tpu.models import HIGH_QUALITY_MODEL
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(-32768, 32768, size=(200, 2)).astype(np.int16)
+    a = LowLevelResampler.init(2, 48000, 44100, 48000, model=HIGH_QUALITY_MODEL)
+    r = a.config.integer_stretched_kernel_radius
+    padded = np.concatenate([np.zeros((r, 2), np.int16), data, np.zeros((r, 2), np.int16)])
+    b = load_lowlevel(save_lowlevel(a))
+    assert b.model == a.model
+    _, _, out_a = a.resample(padded, 200)
+    _, _, out_b = b.resample(padded, 200)
+    np.testing.assert_array_equal(out_a, out_b)

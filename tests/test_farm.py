@@ -143,3 +143,14 @@ def test_mixed_farm_matches_host():
         got = np.concatenate(outs[i], axis=0)
         want = _host_reference(data[i], ch, in_rate, out_rate, max(in_rate, out_rate))
         np.testing.assert_array_equal(got, want, err_msg=f"stream {i}")
+
+
+def test_farm_strided_extreme_downsample():
+    """Review regression: strided path with d=4 must fit staging capacity
+    (previously crashed with a slice past the staging buffer)."""
+    rng = np.random.default_rng(41)
+    data = rng.integers(-32768, 32768, size=(1, 256, 1)).astype(np.int16)
+    farm = UniformStreamFarm(1, 1, 192000, 48000, chunk_frames=256, interpret=True)
+    out = np.concatenate([farm.process(data), farm.flush()], axis=1)
+    want = _host_reference(data[0], 1, 192000, 48000, 192000)
+    np.testing.assert_array_equal(out[0], want)

@@ -52,3 +52,59 @@ def test_roundtrip(have_native):
     native.stage_chunk(chunk, staging, 0)
     back = native.unstage_output(staging, b, c)
     np.testing.assert_array_equal(back, chunk.astype(np.int32))
+
+
+def test_numpy_fallback_matches_native():
+    """Force the numpy fallback and compare against the C implementation
+    (or inline expectations when no toolchain) — incl. padded lanes."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def forced_fallback():
+        lib, tried = native._lib, native._tried
+        native._lib, native._tried = None, True
+        try:
+            yield
+        finally:
+            native._lib, native._tried = lib, tried
+
+    rng = np.random.default_rng(4)
+    b, n, c, lanes = 7, 13, 2, 128  # padded lanes: b*c=14 << 128
+    chunk = rng.integers(-32768, 32768, size=(b, n, c)).astype(np.int16)
+
+    stag_a = np.zeros((40, lanes), np.int32)
+    with forced_fallback():
+        native.stage_chunk(chunk, stag_a, 5)
+        native.shift_rows(stag_a, 30, 3)
+        native.zero_rows(stag_a, 2, 4)
+        out_a = native.unstage_output(stag_a[:9], b, c)
+
+    stag_b = np.zeros((40, lanes), np.int32)
+    native.stage_chunk(chunk, stag_b, 5)
+    native.shift_rows(stag_b, 30, 3)
+    native.zero_rows(stag_b, 2, 4)
+    out_b = native.unstage_output(stag_b[:9], b, c)
+
+    np.testing.assert_array_equal(stag_a, stag_b)
+    np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_farm_works_with_numpy_fallback():
+    """The farm must function without the C++ toolchain (padded lanes)."""
+    import contextlib
+    from clownresampler_tpu.farm import UniformStreamFarm
+    from tests.test_farm import _host_reference
+
+    lib, tried = native._lib, native._tried
+    native._lib, native._tried = None, True
+    try:
+        rng = np.random.default_rng(6)
+        data = rng.integers(-32768, 32768, size=(3, 300, 2)).astype(np.int16)
+        farm = UniformStreamFarm(3, 2, 48000, 44100, chunk_frames=256, interpret=True)
+        outs = [farm.process(data[:, :256]), farm.process(data[:, 256:]), farm.flush()]
+        got = np.concatenate(outs, axis=1)
+        for i in range(3):
+            want = _host_reference(data[i], 2, 48000, 44100, 48000)
+            np.testing.assert_array_equal(got[i], want)
+    finally:
+        native._lib, native._tried = lib, tried
