@@ -194,6 +194,91 @@ def resample_scan(
     return outputs, produced, state_out
 
 
+@partial(
+    jax.jit,
+    static_argnames=("max_taps", "n_out", "radius", "d", "cand", "interpret"),
+)
+def resample_scan_tiled(
+    table,
+    chunks,              # (K, n_in, L) int32
+    state: DeviceState,
+    *,
+    max_taps: int,
+    n_out: int,          # per-chunk cap: ((n_in + 2*radius) << 16)//inc + slack,
+                         # rounded up to 64
+    radius: int,
+    d: int,              # static plan_uniform params (increment < 2^17)
+    cand: int,
+    interpret: bool = False,
+):
+    """resample_scan with the fused Pallas kernel as the per-chunk engine.
+
+    Same semantics as resample_scan (one jitted lax.scan, halo carry, radius
+    position bias) but each step runs the tiled VPU kernel instead of the XLA
+    gather oracle — the fully-fused fast streaming pipeline for ratios with
+    increment < 2^17. Returns (outputs (K, n_out, L) int32 zero-masked,
+    produced (K,), state')."""
+    from clownresampler_tpu.ops.pallas_resample import (
+        resample_uniform_lanes_tiled,
+        window_rows_needed,
+    )
+
+    k, n_in, l = chunks.shape
+    assert n_in < 1 << 14
+    slack = window_rows_needed(max_taps, d, cand) + 8
+    halo0 = jnp.zeros((2 * radius, l), jnp.int32)
+    zeros_slack = jnp.zeros((slack, l), jnp.int32)
+    s_rows = 2 * radius + n_in + slack
+
+    state = DeviceState(
+        position_integer=state.position_integer + jnp.int32(radius),
+        position_fractional=state.position_fractional,
+        cfg=state.cfg,
+    )
+
+    def step(carry, chunk):
+        st, halo = carry
+        buffer = jnp.concatenate([halo, chunk.astype(jnp.int32), zeros_slack], axis=0)
+        natural = natural_output_count(
+            st.position_integer,
+            st.position_fractional,
+            st.cfg.increment_hi,
+            st.cfg.increment_lo,
+            jnp.int32(n_in),
+        )
+        produced = jnp.minimum(natural, jnp.int32(n_out))
+        out, _rows = resample_uniform_lanes_tiled(
+            table, buffer, st,
+            max_taps=max_taps, n_out=n_out, d=d, cand=cand, interpret=interpret,
+        )
+        n = jnp.arange(n_out, dtype=jnp.int32)
+        out = jnp.where((n < produced)[:, None], out, 0)
+
+        p_after, f_after = fx.positions_from_state(
+            st.position_integer,
+            st.position_fractional,
+            st.cfg.increment_hi,
+            st.cfg.increment_lo,
+            produced,
+        )
+        delta = jnp.minimum(p_after, jnp.int32(n_in))
+        st2 = DeviceState(
+            position_integer=p_after - delta,
+            position_fractional=f_after,
+            cfg=st.cfg,
+        )
+        new_halo = jax.lax.slice_in_dim(buffer, n_in, n_in + 2 * radius, axis=0)
+        return (st2, new_halo), (out, produced)
+
+    (state_out, _halo), (outputs, produced) = jax.lax.scan(step, (state, halo0), chunks)
+    state_out = DeviceState(
+        position_integer=state_out.position_integer - jnp.int32(radius),
+        position_fractional=state_out.position_fractional,
+        cfg=state_out.cfg,
+    )
+    return outputs, produced, state_out
+
+
 # ---------------------------------------------------------------------------
 # Host streaming API (exact-bookkeeping mirror of the C low-level API)
 # ---------------------------------------------------------------------------

@@ -134,6 +134,7 @@ def _kernel_tiled(
 ):
     jg = pl.program_id(1)
 
+    results = []
     for g in range(group):
         base = tile_rows_ref[jg * group + g]
         a = pl.multiple_of((base // 8) * 8, 8)
@@ -165,12 +166,15 @@ def _kernel_tiled(
                     )
             acc = _macc(win, kv_ref[lo:hi, t : t + 1], acc)
 
-        res = fx.mul_shift15(acc, q)                             # 17.15 normalise
-        if clamp_s16:
-            # Fused output clamp (what the reference's examples do on every
-            # frame, clownresampler.h:96-100) — halves output HBM traffic.
-            res = jnp.clip(res, -0x7FFF, 0x7FFF).astype(jnp.int16)
-        out_ref[lo:hi, :] = res
+        results.append(fx.mul_shift15(acc, q))                   # 17.15 normalise
+
+    out = jnp.concatenate(results, axis=0)
+    if clamp_s16:
+        # Fused output clamp (what the reference's examples do on every frame,
+        # clownresampler.h:96-100) — halves output HBM traffic. One whole-block
+        # store keeps the int16 write tile-aligned.
+        out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
+    out_ref[:, :] = out
 
 
 @partial(

@@ -1,0 +1,59 @@
+"""Example scripts and the CLI must run end-to-end (subprocess, CPU)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    from clownresampler_tpu.utils.audio_io import write_wav
+
+    rng = np.random.default_rng(2)
+    path = tmp_path_factory.mktemp("wav") / "in.wav"
+    write_wav(str(path), rng.integers(-15000, 15000, size=(12000, 2)).astype(np.int16), 48000)
+    return str(path)
+
+
+def _run(args, wav_path, out_name):
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = os.path.join(os.path.dirname(wav_path), out_name)
+    r = subprocess.run(
+        [sys.executable, *args, wav_path, out, "32000"],
+        cwd=REPO, capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.exists(out)
+    return r.stdout
+
+
+def test_low_level_example(wav_path):
+    out = _run(["examples/low_level.py"], wav_path, "out_ll.wav")
+    assert "8000 frames written" in out  # 12000 * 32000/48000
+
+
+def test_high_level_example(wav_path):
+    out = _run(["examples/high_level.py"], wav_path, "out_hl.wav")
+    assert "8000 frames written" in out
+
+
+def test_cli_module(wav_path):
+    out = _run(["-m", "clownresampler_tpu"], wav_path, "out_cli.wav")
+    assert "8000 frames" in out
+
+
+def test_cli_usage_error():
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "-m", "clownresampler_tpu"],
+        cwd=REPO, capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 2
+    assert "in.wav out.wav" in r.stderr

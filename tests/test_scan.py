@@ -58,3 +58,36 @@ def test_scan_matches_host(in_rate, out_rate):
     tol = (r * 65536) // inc + 3
     assert got.shape[0] >= want.shape[0] - tol, (got.shape, want.shape)
     assert not want[got.shape[0] :].any(), "undrained frames must be silence" 
+
+
+def test_scan_tiled_matches_oracle_scan():
+    """The Pallas-engined scan == the oracle scan, chunk for chunk."""
+    from clownresampler_tpu.lowlevel import resample_scan_tiled
+    from clownresampler_tpu.ops.pallas_resample import plan_uniform
+
+    rng = np.random.default_rng(55)
+    in_rate, out_rate = 48000, 44100
+    cfg = configure(in_rate, out_rate, out_rate)
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    r = cfg.integer_stretched_kernel_radius
+    max_taps = 8
+    lanes, n_in, k = 128, 256, 5
+    n_out_cap = -(-(((n_in + 2 * r) * 65536) // inc + 16) // 64) * 64
+    plan = plan_uniform(inc, n_out_cap)
+
+    data = rng.integers(-32768, 32768, size=(k, n_in, lanes)).astype(np.int32)
+    chunks = jnp.asarray(data)
+    table = jnp.asarray(lanczos_kernel_table())
+    state = make_device_state(0, 0, cfg, inc)
+
+    ref_out, ref_prod, ref_state = resample_scan(
+        table, chunks, state, max_taps=max_taps, n_out=int(n_out_cap), radius=r
+    )
+    got_out, got_prod, got_state = resample_scan_tiled(
+        table, chunks, state, max_taps=max_taps, n_out=int(n_out_cap), radius=r,
+        d=plan["d"], cand=plan["cand"], interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_prod), np.asarray(ref_prod))
+    np.testing.assert_array_equal(np.asarray(got_out), np.asarray(ref_out))
+    assert int(got_state.position_integer) == int(ref_state.position_integer)
+    assert int(got_state.position_fractional) == int(ref_state.position_fractional)
