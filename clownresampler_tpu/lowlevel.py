@@ -368,9 +368,34 @@ class LowLevelResampler:
         """Convolve output frames [0, n_frames) from the current state.
 
         Tiles the launch so device index math stays in int32, and pads inputs
-        and tile sizes to a few static buckets to bound recompilation.
+        and tile sizes to a few static buckets to bound recompilation. On TPU
+        the tiles route through the fused kernels (ops/pallas_resample.py);
+        the XLA gather oracle is the CPU/interpret path.
         """
+        import jax as _jax
+
+        from clownresampler_tpu.ops.pallas_resample import (
+            plan_uniform,
+            resample_integer_stride,
+            resample_uniform_lanes_general,
+            resample_uniform_lanes_tiled,
+            window_rows_needed,
+        )
+
         table = self.model.table()
+        use_fast = _jax.default_backend() == "tpu"
+        plan = plan_uniform(self.increment, 0) if use_fast else None
+        if use_fast:
+            # Fast kernels keep their input block VMEM-resident, so each tile
+            # gets a bounded row window (rebased positions) instead of the
+            # whole stream; slack covers aligned loads past the last window.
+            d = self.increment >> 16
+            slack = window_rows_needed(self._max_taps, min(d, 1), 8) + 8 * d + 32
+            lanes_pad = fx.round_up(self.channels, 128)
+            rows_budget = 16384
+            rows_per_tile = rows_budget - 2 * (self._max_taps // 2) - slack
+            max_tile_frames = max(64, (rows_per_tile << 16) // self.increment - 8)
+
         chunks = []
         done = 0
         while done < n_frames:
@@ -378,21 +403,44 @@ class LowLevelResampler:
             t = self.position_fractional + (done * self.increment)
             p0 = self.position_integer + (t >> 16)
             f0 = t & 0xFFFF
-            n_pad = fx.round_up(tile, 512)
-            n = np.arange(n_pad, dtype=np.int64)
-            tvec = f0 + n * self.increment
-            pos = (p0 + (tvec >> 16)).astype(np.int32)
-            frac = (tvec & 0xFFFF).astype(np.int32)
-            cfg = ConfigScalars.from_configuration(self.config, self.increment)
-            out = _convolve_jit(
-                table,
-                padded_input,
-                pos,
-                frac,
-                cfg,
-                self._max_taps,
-            )
-            chunks.append(np.asarray(out)[:tile])
+            if use_fast:
+                tile = min(tile, max_tile_frames)
+                grain = {"tiled": 64, "strided": 8, "general": 128}[plan["kernel"]]
+                n_pad = fx.round_up(tile, grain)
+                # Row window [p0, p0 + rows_budget), zero-padded past the
+                # stream end; positions rebased to the window start.
+                window = np.zeros((rows_budget, lanes_pad), np.int32)
+                avail = min(rows_budget, padded_input.shape[0] - p0)
+                if avail > 0:
+                    window[:avail, : self.channels] = padded_input[p0 : p0 + avail]
+                state = make_device_state(0, f0, self.config, self.increment)
+                x = jnp.asarray(window)
+                if plan["kernel"] == "tiled":
+                    out, _ = resample_uniform_lanes_tiled(
+                        table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                        d=plan["d"], cand=plan["cand"],
+                    )
+                elif plan["kernel"] == "strided":
+                    out, _ = resample_integer_stride(
+                        table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                        d=plan["d"],
+                    )
+                else:
+                    out, _ = resample_uniform_lanes_general(
+                        table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                    )
+                chunks.append(np.asarray(out)[:tile, : self.channels])
+            else:
+                n_pad = fx.round_up(tile, 512)
+                n = np.arange(n_pad, dtype=np.int64)
+                tvec = f0 + n * self.increment
+                pos = (p0 + (tvec >> 16)).astype(np.int32)
+                frac = (tvec & 0xFFFF).astype(np.int32)
+                cfg = ConfigScalars.from_configuration(self.config, self.increment)
+                out = _convolve_jit(
+                    table, padded_input, pos, frac, cfg, self._max_taps
+                )
+                chunks.append(np.asarray(out)[:tile])
             done += tile
         return (
             np.concatenate(chunks, axis=0)

@@ -43,6 +43,17 @@ def main() -> int:
     pcm = np.fromfile(os.path.join(fixtures, "test_pcm_s16le.raw"), dtype="<i2").reshape(-1, 2)
     failures = 0
 
+    # 0. Golden configs through resample_array (the public one-shot API,
+    # which routes through the fused kernels on TPU).
+    from clownresampler_tpu import resample_array
+
+    for (in_rate, out_rate), md5_want in GOLDEN.items():
+        out = resample_array(pcm, in_rate, out_rate, max(in_rate, out_rate))
+        md5 = hashlib.md5(np.asarray(out, dtype="<i4").tobytes()).hexdigest()
+        ok = md5 == md5_want
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'} one-shot golden {in_rate}->{out_rate} md5={md5}")
+
     # 1. Golden configs through the farm (compiled Pallas/general paths).
     for (in_rate, out_rate), md5_want in GOLDEN.items():
         farm = UniformStreamFarm(4, 2, in_rate, out_rate, max(in_rate, out_rate))
