@@ -104,8 +104,9 @@ def save_farm(farm: UniformStreamFarm) -> dict[str, Any]:
         "increment": farm.increment,
         "config": _config_dict(farm.config),
         "radius_bound": farm._radius_bound,
-        "staging": farm._staging.copy(),
+        "staging": np.asarray(farm._staging).copy(),
         "fill": farm._fill,
+        "device_staging": farm._device_staging,
         "model_radius": farm.model.radius,
         "model_resolution": farm.model.resolution,
     }
@@ -128,8 +129,15 @@ def load_farm(d: dict[str, Any]) -> UniformStreamFarm:
     farm.config = _config_from(d["config"])
     farm._radius_bound = d["radius_bound"]
     farm._max_taps = -(-2 * farm._radius_bound // 8) * 8
-    farm._staging = np.array(d["staging"], dtype=np.int32)
-    farm._capacity = farm._staging.shape[0]
-    farm._lanes = farm._staging.shape[1]
+    farm._device_staging = d.get("device_staging", False)
+    staging = np.array(d["staging"], dtype=np.int32)
+    if farm._device_staging:
+        import jax.numpy as jnp
+
+        farm._staging = jnp.asarray(staging)
+    else:
+        farm._staging = staging
+    farm._capacity = staging.shape[0]
+    farm._lanes = staging.shape[1]
     farm._fill = d["fill"]
     return farm

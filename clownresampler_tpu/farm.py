@@ -59,6 +59,7 @@ class UniformStreamFarm:
         model: KernelModel = DEFAULT_MODEL,
         max_radius: Optional[int] = None,
         interpret: bool = False,
+        device_staging: Optional[bool] = None,
     ):
         low_pass_rate = low_pass_rate if low_pass_rate is not None else max(input_rate, output_rate)
         cfg = configure(input_rate, output_rate, low_pass_rate,
@@ -91,7 +92,16 @@ class UniformStreamFarm:
         # ~3*radius_bound for the default radius 3).
         slack = 96 + window_rows_needed(self._max_taps, 1, 8) + 3 * radius_bound
         self._capacity = radius_bound + chunk_frames + radius_bound + slack
-        self._staging = np.zeros((self._capacity, self._lanes), np.int32)
+        # Device-resident staging (default on TPU): the buffer lives in HBM;
+        # each process() uploads only the new chunk and stages/shifts on
+        # device — halving host<->device traffic vs re-uploading the buffer.
+        if device_staging is None:
+            device_staging = jax.default_backend() == "tpu" and not interpret
+        self._device_staging = device_staging
+        if device_staging:
+            self._staging = jnp.zeros((self._capacity, self._lanes), jnp.int32)
+        else:
+            self._staging = np.zeros((self._capacity, self._lanes), np.int32)
         self._fill = radius_bound      # rows of valid data (left zero halo)
 
     # ------------------------------------------------------------------
@@ -111,6 +121,30 @@ class UniformStreamFarm:
             return False
         self._set_config(cfg, fx.calculate_ratio(input_rate, output_rate))
         return True
+
+    # ------------------------------------------------------------------
+    # Device-side staging ops (jitted; fill/shift are dynamic scalars).
+    @staticmethod
+    @jax.jit
+    def _dev_stage(staging, chunk, fill):
+        b, n, c = chunk.shape
+        rows = chunk.astype(jnp.int32).transpose(1, 0, 2).reshape(n, b * c)
+        rows = jnp.pad(rows, ((0, 0), (0, staging.shape[1] - b * c)))
+        return jax.lax.dynamic_update_slice(staging, rows, (fill, 0))
+
+    @staticmethod
+    @jax.jit
+    def _dev_shift(staging, shift, keep):
+        rolled = jnp.roll(staging, -shift, axis=0)
+        row = jnp.arange(staging.shape[0], dtype=jnp.int32)[:, None]
+        return jnp.where(row < keep, rolled, 0)
+
+    @staticmethod
+    @jax.jit
+    def _dev_zero_rows(staging, fill, n):
+        row = jnp.arange(staging.shape[0], dtype=jnp.int32)[:, None]
+        mask = (row >= fill) & (row < fill + n)
+        return jnp.where(mask, 0, staging)
 
     # ------------------------------------------------------------------
     def _natural_count(self, total_frames: int) -> int:
@@ -135,7 +169,7 @@ class UniformStreamFarm:
             self.config,
             self.increment,
         )
-        x = jnp.asarray(self._staging)
+        x = self._staging if self._device_staging else jnp.asarray(self._staging)
         plan = plan_uniform(self.increment, n_pad)
         if plan["kernel"] == "tiled":
             out, _ = resample_uniform_lanes_tiled(
@@ -171,7 +205,13 @@ class UniformStreamFarm:
         self.position_integer -= consumed
         # Slide out consumed frames; retain everything after them (incl. halo).
         keep = self._fill - consumed
-        native.shift_rows(self._staging, keep, consumed)
+        if consumed:
+            if self._device_staging:
+                self._staging = self._dev_shift(
+                    self._staging, jnp.int32(consumed), jnp.int32(keep)
+                )
+            else:
+                native.shift_rows(self._staging, keep, consumed)
         self._fill = keep
         return result
 
@@ -183,7 +223,12 @@ class UniformStreamFarm:
         assert b == self.n_streams and c == self.channels and n <= self.chunk_frames
         if self._fill + n > self._capacity:
             raise ValueError("staging overflow: feed chunks of at most chunk_frames")
-        native.stage_chunk(chunk, self._staging, self._fill)
+        if self._device_staging:
+            self._staging = self._dev_stage(
+                self._staging, jnp.asarray(chunk), jnp.int32(self._fill)
+            )
+        else:
+            native.stage_chunk(chunk, self._staging, self._fill)
         self._fill += n
         # Hold back a trailing halo: the last `radius` data rows stay
         # unconsumable until more data (or flush) arrives — the same trick as
@@ -196,7 +241,12 @@ class UniformStreamFarm:
     def flush(self) -> np.ndarray:
         """Feed `radius` zero frames and drain (ResampleEnd, 1242-1250)."""
         r = self._radius_bound
-        native.zero_rows(self._staging, self._fill, r)
+        if self._device_staging:
+            self._staging = self._dev_zero_rows(
+                self._staging, jnp.int32(self._fill), jnp.int32(r)
+            )
+        else:
+            native.zero_rows(self._staging, self._fill, r)
         self._fill += r
         total = self._fill - 2 * self._radius_bound
         return self._emit(max(total, 0))

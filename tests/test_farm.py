@@ -154,3 +154,26 @@ def test_farm_strided_extreme_downsample():
     out = np.concatenate([farm.process(data), farm.flush()], axis=1)
     want = _host_reference(data[0], 1, 192000, 48000, 192000)
     np.testing.assert_array_equal(out[0], want)
+
+
+def test_farm_device_staging_matches_host_staging():
+    """device_staging=True (device-resident buffer) == native host staging."""
+    rng = np.random.default_rng(71)
+    b, ch, total = 3, 2, 600
+    data = rng.integers(-32768, 32768, size=(b, total, ch)).astype(np.int16)
+
+    outs = {}
+    for dev in (False, True):
+        farm = UniformStreamFarm(
+            b, ch, 44100, 48000, 48000, chunk_frames=256,
+            interpret=True, device_staging=dev,
+        )
+        parts = []
+        for off in (0, 256, 512):
+            parts.append(farm.process(data[:, off : off + min(256, total - off)]))
+        parts.append(farm.flush())
+        outs[dev] = np.concatenate(parts, axis=1)
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+    want = _host_reference(data[1], ch, 44100, 48000, 48000)
+    np.testing.assert_array_equal(outs[True][1], want)
