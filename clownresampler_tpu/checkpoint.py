@@ -107,6 +107,7 @@ def save_farm(farm: UniformStreamFarm) -> dict[str, Any]:
         "staging": np.asarray(farm._staging).copy(),
         "fill": farm._fill,
         "device_staging": farm._device_staging,
+        "clamp_s16": farm.clamp_s16,
         "model_radius": farm.model.radius,
         "model_resolution": farm.model.resolution,
     }
@@ -119,6 +120,7 @@ def load_farm(d: dict[str, Any]) -> UniformStreamFarm:
     farm.channels = d["channels"]
     farm.chunk_frames = d["chunk_frames"]
     farm.interpret = d["interpret"]
+    farm.clamp_s16 = d.get("clamp_s16", False)
     farm.model = KernelModel(d["model_radius"], d["model_resolution"])
     import jax.numpy as jnp
 

@@ -60,6 +60,7 @@ class UniformStreamFarm:
         max_radius: Optional[int] = None,
         interpret: bool = False,
         device_staging: Optional[bool] = None,
+        clamp_s16: bool = False,
     ):
         low_pass_rate = low_pass_rate if low_pass_rate is not None else max(input_rate, output_rate)
         cfg = configure(input_rate, output_rate, low_pass_rate,
@@ -71,6 +72,7 @@ class UniformStreamFarm:
         self.chunk_frames = chunk_frames
         self.model = model
         self.interpret = interpret
+        self.clamp_s16 = clamp_s16  # emit clamped int16 (serving; halves D2H)
         self._table = jnp.asarray(model.table())
 
         self._lanes = fx.round_up(n_streams * channels, LANES)
@@ -175,28 +177,41 @@ class UniformStreamFarm:
             out, _ = resample_uniform_lanes_tiled(
                 self._table, x, state,
                 max_taps=self._max_taps, n_out=n_pad,
-                d=plan["d"], cand=plan["cand"], interpret=self.interpret,
+                d=plan["d"], cand=plan["cand"], clamp_s16=self.clamp_s16,
+                interpret=self.interpret,
             )
         elif plan["kernel"] == "strided":
             out, _ = resample_integer_stride(
-                self._table, x, state, max_taps=self._max_taps, n_out=n_pad, d=plan["d"]
+                self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                d=plan["d"], clamp_s16=self.clamp_s16,
             )
         else:
             out, _ = resample_uniform_lanes_general(
                 self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
-                interpret=self.interpret,
+                clamp_s16=self.clamp_s16, interpret=self.interpret,
             )
         return np.asarray(out)[:n_out]
 
     def _emit(self, total_frames: int) -> np.ndarray:
         """Produce every frame available against `total_frames` of data, then
         slide the staging window (LowLevel position carry, 1063-1068)."""
+        out_dtype = np.int16 if self.clamp_s16 else np.int32
         n_out = self._natural_count(total_frames)
         if n_out > 0:
             lanes_out = self._launch(n_out)
-            result = native.unstage_output(lanes_out, self.n_streams, self.channels)
+            if self.clamp_s16:
+                # int16 lanes: plain numpy de-interleave (the native engine's
+                # unstage is int32-specific).
+                bc = self.n_streams * self.channels
+                result = np.ascontiguousarray(
+                    lanes_out[:, :bc]
+                    .reshape(-1, self.n_streams, self.channels)
+                    .transpose(1, 0, 2)
+                )
+            else:
+                result = native.unstage_output(lanes_out, self.n_streams, self.channels)
         else:
-            result = np.zeros((self.n_streams, 0, self.channels), np.int32)
+            result = np.zeros((self.n_streams, 0, self.channels), out_dtype)
 
         t = self.position_fractional + n_out * self.increment
         self.position_integer += t >> 16

@@ -258,6 +258,7 @@ def _kernel_general(
     max_taps: int,
     w_load: int,    # static aligned window rows (power of two >= T+8)
     group: int,
+    clamp_s16: bool,
 ):
     """Per-frame windows with taps on the sublane axis.
 
@@ -284,10 +285,16 @@ def _kernel_general(
         acc = jnp.concatenate(accs, axis=0)                      # (8, 128)
         lo = g * FRAMES_PER_TILE
         q = meta_ref[lo : lo + FRAMES_PER_TILE, 1:2]
-        out_ref[lo : lo + FRAMES_PER_TILE, :] = fx.mul_shift15(acc, q)
+        res = fx.mul_shift15(acc, q)
+        if clamp_s16:
+            res = jnp.clip(res, -0x7FFF, 0x7FFF).astype(jnp.int16)
+        out_ref[lo : lo + FRAMES_PER_TILE, :] = res
 
 
-@partial(jax.jit, static_argnames=("max_taps", "n_out", "group", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("max_taps", "n_out", "group", "clamp_s16", "interpret"),
+)
 def resample_uniform_lanes_general(
     table,
     x,                   # (S, L) int32; padded so aligned loads fit (w_load rows)
@@ -297,6 +304,7 @@ def resample_uniform_lanes_general(
     n_out: int,          # multiple of 128
     group: int = 16,     # fixed: 16*8 = 128 frames/step so the transposed kv
                          # block has a 128-lane tile (Mosaic blocking rule)
+    clamp_s16: bool = False,
     interpret: bool = False,
 ):
     """Any-ratio uniform-lane resample (used for increment >= 2^17, lo != 0)."""
@@ -329,9 +337,14 @@ def resample_uniform_lanes_general(
         ),
     )
     out = pl.pallas_call(
-        partial(_kernel_general, max_taps=max_taps, w_load=w_load, group=group),
+        partial(
+            _kernel_general, max_taps=max_taps, w_load=w_load, group=group,
+            clamp_s16=clamp_s16,
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, l), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, l), jnp.int16 if clamp_s16 else jnp.int32
+        ),
         interpret=interpret,
     )(rows_launch, meta, kv, x)
     return out, rows
@@ -341,7 +354,7 @@ def resample_uniform_lanes_general(
 # XLA strided path for exact integer strides (increment fractional part == 0)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_taps", "n_out", "d"))
+@partial(jax.jit, static_argnames=("max_taps", "n_out", "d", "clamp_s16"))
 def resample_integer_stride(
     table,
     x,                   # (S, L) int32, padded so row rows[0] + (n_out-1)*d + T fits
@@ -350,6 +363,7 @@ def resample_integer_stride(
     max_taps: int,
     n_out: int,
     d: int,              # static integer stride = increment >> 16, >= 1
+    clamp_s16: bool = False,
 ):
     """Exact-integer-stride resample (e.g. 2:1 96k->48k, BASELINE config 2).
 
@@ -380,7 +394,10 @@ def resample_integer_stride(
     for t in range(max_taps):
         sl = jax.lax.slice_in_dim(xwin, t, t + (n_out - 1) * d + 1, stride=d, axis=0)
         acc = _macc(sl, k0[t], acc)
-    return fx.mul_shift15(acc, q0), rows
+    out = fx.mul_shift15(acc, q0)
+    if clamp_s16:
+        out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
+    return out, rows
 
 
 # ---------------------------------------------------------------------------

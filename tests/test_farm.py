@@ -177,3 +177,21 @@ def test_farm_device_staging_matches_host_staging():
 
     want = _host_reference(data[1], ch, 44100, 48000, 48000)
     np.testing.assert_array_equal(outs[True][1], want)
+
+
+def test_farm_clamp_s16_output():
+    """clamp_s16 farms emit int16 == clipped wide output, every kernel class."""
+    rng = np.random.default_rng(91)
+    for in_rate, out_rate in [(48000, 44100), (96000, 48000), (44100, 8000)]:
+        data = rng.integers(-32768, 32768, size=(2, 300, 2)).astype(np.int16)
+        wide = UniformStreamFarm(2, 2, in_rate, out_rate, chunk_frames=256, interpret=True)
+        clamped = UniformStreamFarm(2, 2, in_rate, out_rate, chunk_frames=256,
+                                    interpret=True, clamp_s16=True)
+        w = np.concatenate([wide.process(data[:, :256]), wide.process(data[:, 256:]),
+                            wide.flush()], axis=1)
+        c = np.concatenate([clamped.process(data[:, :256]), clamped.process(data[:, 256:]),
+                            clamped.flush()], axis=1)
+        assert c.dtype == np.int16
+        np.testing.assert_array_equal(
+            c, np.clip(w, -0x7FFF, 0x7FFF).astype(np.int16), err_msg=str((in_rate, out_rate))
+        )
