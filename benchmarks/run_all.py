@@ -37,6 +37,7 @@ def main() -> None:
     from clownresampler_tpu.ops.pallas_resample import (
         plan_uniform,
         resample_integer_stride,
+        resample_uniform_lanes_general,
         resample_uniform_lanes_tiled,
     )
 
@@ -44,13 +45,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     N_OUT = 4096
 
-    def make_launch(in_rate, out_rate, lanes, lpf=None):
+    def make_launch(in_rate, out_rate, lanes, lpf=None, n_out=None):
+        n_out = n_out or N_OUT
         lpf = lpf or max(in_rate, out_rate)
         cfg = configure(in_rate, out_rate, lpf)
         inc = fx.calculate_ratio(in_rate, out_rate)
-        plan = plan_uniform(inc, N_OUT)
+        plan = plan_uniform(inc, n_out)
         max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
-        s = ((N_OUT * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
+        s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
         s = -(-s // 16) * 16
         xs = [
             jnp.asarray(rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
@@ -60,32 +62,33 @@ def main() -> None:
 
         if plan["kernel"] == "tiled":
             fn = lambda x, st: resample_uniform_lanes_tiled(
-                table, x, st, max_taps=max_taps, n_out=N_OUT,
+                table, x, st, max_taps=max_taps, n_out=n_out,
                 d=plan["d"], cand=plan["cand"])[0]
         elif plan["kernel"] == "strided":
             fn = lambda x, st: resample_integer_stride(
-                table, x, st, max_taps=max_taps, n_out=N_OUT, d=plan["d"])[0]
+                table, x, st, max_taps=max_taps, n_out=n_out, d=plan["d"])[0]
         else:
-            raise ValueError("oracle ratios not in this suite")
-        return fn, xs, states
+            fn = lambda x, st: resample_uniform_lanes_general(
+                table, x, st, max_taps=max_taps, n_out=n_out)[0]
+        return fn, xs, states, n_out
 
     def pipeline_time(launches, iters=64):
-        """launches: list of (fn, xs, states); round-robin pipelined."""
+        """launches: list of (fn, xs, states, n_out); round-robin pipelined."""
         outs = []
         for i in range(8):  # warm/compile
-            fn, xs, states = launches[i % len(launches)]
+            fn, xs, states, _ = launches[i % len(launches)]
             outs.append(fn(xs[i % len(xs)], states[i % len(states)]))
         jax.block_until_ready(outs)
         outs = []
         t0 = time.perf_counter()
         for i in range(iters):
-            fn, xs, states = launches[i % len(launches)]
+            fn, xs, states, _ = launches[i % len(launches)]
             outs.append(fn(xs[i % len(xs)], states[(i * 3 + 1) % len(states)]))
         jax.block_until_ready(outs)
         return (time.perf_counter() - t0) / iters
 
-    def report(name, lanes, dt, anchor_msps):
-        msps = N_OUT * lanes / dt / 1e6
+    def report(name, lanes, dt, anchor_msps, n_out=None):
+        msps = (n_out or N_OUT) * lanes / dt / 1e6
         print(json.dumps({
             "metric": name,
             "value": round(msps, 1),
@@ -116,6 +119,11 @@ def main() -> None:
               make_launch(8000, 48000, 512), make_launch(96000, 48000, 512)]
     dt = pipeline_time(groups)
     report("config5 mixed-ratio farm 4x256 stereo streams", 512, dt, 74.9)
+
+    # 6. wide non-integer downsample 44.1k->8k (general kernel, 40 taps)
+    dt = pipeline_time([make_launch(44100, 8000, 2048, n_out=1024)])
+    report("config6 stereo 44.1k->8k x1024 streams (general kernel)", 2048, dt, 27.0,
+           n_out=1024)
 
 
 if __name__ == "__main__":
