@@ -71,24 +71,29 @@ def main() -> None:
 
     run(8)  # warm up / compile
     # The device is behind a shared relay; contention inflates some windows.
-    # Measure several windows and report the best (least-contended) one.
+    # Measure several windows and report BOTH the best (device capability,
+    # least-contended window) and the median (typical run under contention).
     iters = 48
-    dt = float("inf")
-    for _ in range(4):
+    dts = []
+    for _ in range(6):
         t0 = time.perf_counter()
         run(iters)
-        dt = min(dt, (time.perf_counter() - t0) / iters)
+        dts.append((time.perf_counter() - t0) / iters)
 
     samples_per_launch = N_OUT * LANES_TOTAL
-    msamples = samples_per_launch / dt / 1e6
+    msamples_best = samples_per_launch / min(dts) / 1e6
+    msamples_median = samples_per_launch / float(np.median(dts)) / 1e6
     baseline_msamples = 74.9  # BASELINE.md single-core C anchor
     print(
         json.dumps(
             {
                 "metric": "batched stereo 48k->44.1k output throughput (1024 streams, 1 chip, Pallas)",
-                "value": round(msamples, 1),
+                "value": round(msamples_best, 1),
                 "unit": "Msamples/s",
-                "vs_baseline": round(msamples / baseline_msamples, 2),
+                "vs_baseline": round(msamples_best / baseline_msamples, 2),
+                "best_of_windows": len(dts),
+                "median": round(msamples_median, 1),
+                "median_vs_baseline": round(msamples_median / baseline_msamples, 2),
             }
         )
     )

@@ -100,6 +100,33 @@ def main() -> None:
     dt = pipeline_time([make_launch(48000, 44100, 128)])
     report("config1 mono 48k->44.1k single-stream (128-lane padded)", 1, dt, 37.4)
 
+    # 1b. The SAME config through the actual HighLevelResampler API
+    # (BASELINE.json names the HighLevel API): host-driven 0x1000-buffer
+    # streaming, array path (resample_stream), wall-clock end to end.
+    from clownresampler_tpu.highlevel import HighLevelResampler
+
+    hl_in = rng.integers(-32768, 32768, size=(1 << 20, 1)).astype(np.int16)
+    for _ in range(2):  # first pass warms compilation caches
+        rs = HighLevelResampler.init(1, 48000, 44100, 44100)
+        cursor = 0
+
+        def hl_cb(total_frames: int) -> np.ndarray:
+            nonlocal cursor
+            give = min(total_frames, hl_in.shape[0] - cursor)
+            out = hl_in[cursor : cursor + give]
+            cursor += give
+            return out
+
+        t0 = time.perf_counter()
+        hl_out = rs.resample_stream(hl_cb)
+        hl_dt = time.perf_counter() - t0
+    msps = hl_out.size / hl_dt / 1e6
+    print(json.dumps({
+        "metric": "config1b mono 48k->44.1k via HighLevelResampler.resample_stream",
+        "value": round(msps, 1), "unit": "Msamples/s",
+        "vs_baseline": round(msps / 37.4, 2),
+    }), flush=True)
+
     # 2. stereo 96k->48k, 1024 streams (strided)
     dt = pipeline_time([make_launch(96000, 48000, 2048)])
     report("config2 stereo 96k->48k 2:1 x1024 streams", 2048, dt, 54.0)
@@ -108,11 +135,32 @@ def main() -> None:
     dt = pipeline_time([make_launch(8000, 48000, 1024)])
     report("config3 mono 8k->48k upsample x1024 streams", 1024, dt, 45.5)
 
-    # 4. pitch bend: interleave launches across a 0.5x..2.0x ratio sweep
-    sweep = [make_launch(int(44100 * r), 44100, 2048)
-             for r in (0.5, 0.7, 0.9, 1.0, 1.2, 1.5, 1.8, 2.0)]
-    dt = pipeline_time(sweep)
-    report("config4 dynamic ratio sweep 0.5x-2.0x x1024 streams", 2048, dt, 74.9)
+    # 4. pitch bend: ONE farm whose ratio is adjusted EVERY chunk across the
+    # 0.5x..2.0x sweep — the real Adjust duty cycle (state rebuild + plan
+    # switch per chunk, clownresampler.h:1052-1056), end to end through
+    # UniformStreamFarm.process including host staging and D2H.
+    from clownresampler_tpu.farm import UniformStreamFarm
+
+    sweep_rates = [int(44100 * r) for r in (0.5, 0.7, 0.9, 1.0, 1.2, 1.5, 1.8, 2.0)]
+    farm = UniformStreamFarm(1024, 2, sweep_rates[0], 44100, 88200,
+                             chunk_frames=4096, max_radius=6)
+    chunk = rng.integers(-32768, 32768, size=(1024, 4096, 2)).astype(np.int16)
+    out_samples = 0
+    for i in range(4):  # warm every ratio's kernel plan
+        assert farm.adjust(sweep_rates[i % len(sweep_rates)], 44100, 88200)
+        farm.process(chunk)
+    t0 = time.perf_counter()
+    n_chunks = 16
+    for i in range(n_chunks):
+        assert farm.adjust(sweep_rates[i % len(sweep_rates)], 44100, 88200)
+        out_samples += farm.process(chunk).size
+    dt4 = time.perf_counter() - t0
+    msps = out_samples / dt4 / 1e6
+    print(json.dumps({
+        "metric": "config4 per-chunk pitch-bend sweep 0.5x-2.0x, 1024-stream farm (end-to-end)",
+        "value": round(msps, 1), "unit": "Msamples/s",
+        "vs_baseline": round(msps / 74.9, 2),
+    }), flush=True)
 
     # 5. mixed-ratio farm: 4 ratio groups x 256 stereo streams
     groups = [make_launch(48000, 44100, 512), make_launch(44100, 48000, 512),

@@ -29,6 +29,7 @@ from clownresampler_tpu.lowlevel import (
     resample_array,
     resample_chunk,
     resample_scan,
+    resample_scan_fused,
     resample_scan_tiled,
 )
 from clownresampler_tpu.models import (
@@ -57,6 +58,7 @@ __all__ = [
     "MixedStreamFarm",
     "resample_chunk",
     "resample_scan",
+    "resample_scan_fused",
     "resample_scan_tiled",
     "resample_array",
     "__version__",

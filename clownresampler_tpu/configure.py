@@ -44,12 +44,24 @@ def configure(
     radius: int = 3,
     resolution: int = 0x400,
 ) -> Configuration | None:
-    """Compute stretching parameters; None on failure (scale >= 0x1000).
+    """Compute stretching parameters; None on failure.
 
     Follows clownresampler.h:963-984: the kernel is only ever stretched (the
     low-pass rate is clamped to min(input, output, lpf), line 968), the radius
     is stretched by the scale and rounded up, and the LUT step is the table
     resolution scaled by the inverse ratio.
+
+    Deliberate deviation: configurations whose kernel_step_size floors to 0
+    (kernel_scale > resolution) are rejected here, although the reference's
+    Configure accepts them (it only checks scale < 0x1000, lines 974-975).
+    With step 0 the reference's kernel_start is always 0 (line 1001), every
+    tap reads table[0] == 0, and the per-frame normaliser
+    0x80000000 / sum_kernel (line 1025) divides by zero — the reference
+    SIGFPEs on the FIRST output frame of any such stream (empirically
+    verified against the mounted reference at 44100->43 and below; 44100->44,
+    scale ~1002, is the widest working ratio). There is no defined behavior
+    to match, so failing at configure time is the faithful-and-safe choice;
+    tests/test_configure.py pins the boundary against the C oracle vectors.
     """
     actual_low_pass_rate = min(input_rate, min(output_rate, low_pass_rate))
     kernel_scale = fx.calculate_ratio(input_rate, actual_low_pass_rate)
@@ -63,6 +75,8 @@ def configure(
     delta = fx.to_fixed(integer_stretched) - stretched
     assert delta < fx.to_fixed(1)
     step = (resolution * inverse_kernel_scale) >> 16
+    if step == 0:
+        return None  # the reference divides by zero here; see docstring
 
     return Configuration(
         stretched_kernel_radius=stretched,

@@ -27,7 +27,12 @@ import numpy as np
 
 from clownresampler_tpu import fixedpoint as fx
 from clownresampler_tpu.configure import Configuration, configure
-from clownresampler_tpu.lowlevel import make_device_state
+from clownresampler_tpu.lowlevel import (
+    FAST_KERNEL_MAX_TAPS,
+    _convolve_jit,
+    make_device_state,
+)
+from clownresampler_tpu.ops.convolve import ConfigScalars
 from clownresampler_tpu.models import DEFAULT_MODEL, KernelModel
 from clownresampler_tpu.ops.pallas_resample import (
     LANES,
@@ -38,6 +43,11 @@ from clownresampler_tpu.ops.pallas_resample import (
     window_rows_needed,
 )
 from clownresampler_tpu.utils import native
+
+# Max output frames per kernel launch: device positions come from
+# fx.positions_from_state, int32-exact only while f0 + n*inc_lo < 2^31,
+# i.e. n < 2^15 in the worst case. Same bound as lowlevel.MAX_CHUNK_OUTPUT_FRAMES.
+MAX_LAUNCH_OUTPUT_FRAMES = 1 << 14
 
 
 class UniformStreamFarm:
@@ -91,8 +101,13 @@ class UniformStreamFarm:
         # Slack covers the tiled kernel's aligned loads for padding frames past
         # the natural count, and the strided path's (n_pad - n_out)*d over-read
         # (d <= kernel_scale <= radius_bound/radius + 1, so 8*d is bounded by
-        # ~3*radius_bound for the default radius 3).
-        slack = 96 + window_rows_needed(self._max_taps, 1, 8) + 3 * radius_bound
+        # ~3*radius_bound for the default radius 3). Wide kernels beyond
+        # FAST_KERNEL_MAX_TAPS route to the clamped-gather oracle instead,
+        # which needs no load slack.
+        if self._max_taps > FAST_KERNEL_MAX_TAPS:
+            slack = 16
+        else:
+            slack = 96 + window_rows_needed(self._max_taps, 1, 8) + 3 * radius_bound
         self._capacity = radius_bound + chunk_frames + radius_bound + slack
         # Device-resident staging (default on TPU): the buffer lives in HBM;
         # each process() uploads only the new chunk and stages/shifts on
@@ -154,43 +169,77 @@ class UniformStreamFarm:
         return 0 if num <= 0 else -(-num // self.increment)
 
     def _launch(self, n_out: int) -> np.ndarray:
-        """Run the best kernel for the current plan over the staging buffer."""
+        """Run the best kernel for the current plan over the staging buffer.
+
+        Tiled into <= 2^14-frame sub-launches: device positions come from
+        fx.positions_from_state, which is int32-exact only for n < 2^15
+        (f0 + n*inc_lo must stay below 2^31); p0/f0 advance host-side in
+        exact Python ints between tiles, like LowLevelResampler._compute_frames.
+        """
         plan_probe = plan_uniform(self.increment, 0)
         # Padding granularity per kernel: tiled needs 8*group=64, the general
         # kernel needs 128, strided only 8 (minimising its d-scaled over-read).
         grain = {"tiled": 64, "strided": 8, "general": 128}[plan_probe["kernel"]]
-        n_pad = fx.round_up(max(n_out, grain), grain)
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
         # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
         # before the data, so shift launch positions by the difference when
         # the current radius is narrower than the reserved bound.
         halo_shift = self._radius_bound - self.config.integer_stretched_kernel_radius
-        state = make_device_state(
-            self.position_integer + halo_shift,
-            self.position_fractional,
-            self.config,
-            self.increment,
-        )
         x = self._staging if self._device_staging else jnp.asarray(self._staging)
-        plan = plan_uniform(self.increment, n_pad)
-        if plan["kernel"] == "tiled":
-            out, _ = resample_uniform_lanes_tiled(
-                self._table, x, state,
-                max_taps=self._max_taps, n_out=n_pad,
-                d=plan["d"], cand=plan["cand"], clamp_s16=self.clamp_s16,
-                interpret=self.interpret,
-            )
-        elif plan["kernel"] == "strided":
-            out, _ = resample_integer_stride(
-                self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
-                d=plan["d"], clamp_s16=self.clamp_s16,
-            )
-        else:
-            out, _ = resample_uniform_lanes_general(
-                self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
-                clamp_s16=self.clamp_s16, interpret=self.interpret,
-            )
-        return np.asarray(out)[:n_out]
+
+        if self._max_taps > FAST_KERNEL_MAX_TAPS:
+            # Wide-kernel oracle fallback (see lowlevel.FAST_KERNEL_MAX_TAPS):
+            # positions host-side in exact ints, clamped-gather convolution on
+            # device. Natural counts at such extreme downsampling ratios are
+            # tiny, so one launch per call is the common case.
+            cfg = ConfigScalars.from_configuration(self.config, self.increment)
+            parts = []
+            done = 0
+            while done < n_out:
+                tile = min(n_out - done, max(8, (1 << 22) // self._max_taps))
+                t = self.position_fractional + done * self.increment
+                n = np.arange(tile, dtype=np.int64)
+                tvec = (t & 0xFFFF) + n * self.increment
+                base = self.position_integer + (t >> 16) + halo_shift
+                pos = jnp.asarray(base + (tvec >> 16), jnp.int32)
+                frac = jnp.asarray(tvec & 0xFFFF, jnp.int32)
+                out = _convolve_jit(self._table, x, pos, frac, cfg, self._max_taps)
+                if self.clamp_s16:
+                    out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
+                parts.append(np.asarray(out))
+                done += tile
+            return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+        parts = []
+        done = 0
+        while done < n_out:
+            tile = min(n_out - done, MAX_LAUNCH_OUTPUT_FRAMES)
+            n_pad = fx.round_up(max(tile, grain), grain)
+            t = self.position_fractional + done * self.increment
+            p0 = self.position_integer + (t >> 16) + halo_shift
+            f0 = t & 0xFFFF
+            state = make_device_state(p0, f0, self.config, self.increment)
+            plan = plan_uniform(self.increment, n_pad)
+            if plan["kernel"] == "tiled":
+                out, _ = resample_uniform_lanes_tiled(
+                    self._table, x, state,
+                    max_taps=self._max_taps, n_out=n_pad,
+                    d=plan["d"], cand=plan["cand"], clamp_s16=self.clamp_s16,
+                    interpret=self.interpret,
+                )
+            elif plan["kernel"] == "strided":
+                out, _ = resample_integer_stride(
+                    self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                    d=plan["d"], clamp_s16=self.clamp_s16,
+                )
+            else:
+                out, _ = resample_uniform_lanes_general(
+                    self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                    clamp_s16=self.clamp_s16, interpret=self.interpret,
+                )
+            parts.append(np.asarray(out)[:tile])
+            done += tile
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
 
     def _emit(self, total_frames: int) -> np.ndarray:
         """Produce every frame available against `total_frames` of data, then
@@ -249,8 +298,9 @@ class UniformStreamFarm:
         # unconsumable until more data (or flush) arrives — the same trick as
         # the high-level buffer's early `input_buffer_end` (1154).
         total = self._fill - 2 * self._radius_bound
+        out_dtype = np.int16 if self.clamp_s16 else np.int32
         return self._emit(total) if total > 0 else np.zeros(
-            (self.n_streams, 0, self.channels), np.int32
+            (self.n_streams, 0, self.channels), out_dtype
         )
 
     def flush(self) -> np.ndarray:

@@ -44,6 +44,17 @@ from clownresampler_tpu.ops.convolve import ConfigScalars, convolve_frames
 # Keep n*increment_lo inside int32 (fixedpoint.positions_from_state).
 MAX_CHUNK_OUTPUT_FRAMES = 1 << 14
 
+# Width guard for the fused fast paths. The reference accepts any ratio with
+# kernel_scale < 0x1000 (clownresampler.h:974-975), i.e. stretched radius up
+# to 3*4096 and tap windows up to ~24,576 — but the Pallas kernels keep the
+# per-frame window VMEM-resident (power-of-two rows >= taps) and the strided
+# path unrolls one XLA slice per tap, so very wide kernels would blow the VMEM
+# budget / compile forever. Beyond this bound every dispatcher falls back to
+# the XLA gather oracle (ops/convolve.py), which handles the full domain; the
+# fast paths are proven bit-exact and compile-tractable up to it
+# (tests/test_pallas.py, tools/verify_tpu.py).
+FAST_KERNEL_MAX_TAPS = 1024
+
 
 class DeviceState(NamedTuple):
     """Traced int32 mirror of ClownResampler_LowLevel_State (640-648)."""
@@ -149,7 +160,11 @@ def resample_scan(
     the next step. No host round-trips between chunks — the entire stream
     pipeline is a single device computation.
 
-    Returns (outputs (K, n_out, L) int32 zero-masked, produced (K,), state').
+    Returns (outputs (K, n_out, L) int32 zero-masked, produced (K,), state',
+    backlog bool). ``backlog`` is True iff some step's natural frame count
+    exceeded the static ``n_out`` cap — the caller undersized n_out and
+    backlogged frames' windows may have slid out of the carried halo, so the
+    outputs are NOT trustworthy; size n_out by the rule above.
     Leading edge: seed the first halo with zeros (done here); trailing edge:
     append a radius-frame zero chunk to flush, as ResampleEnd does (1242-1250).
     """
@@ -171,6 +186,13 @@ def resample_scan(
     def step(carry, chunk):
         st, halo = carry
         buffer = jnp.concatenate([halo, chunk], axis=0)
+        natural = natural_output_count(
+            st.position_integer,
+            st.position_fractional,
+            st.cfg.increment_hi,
+            st.cfg.increment_lo,
+            jnp.int32(n_in),
+        )
         out, produced, _consumed, st2, _flag = resample_chunk(
             table,
             buffer,
@@ -181,9 +203,9 @@ def resample_scan(
             n_out=n_out,
         )
         new_halo = jax.lax.slice_in_dim(buffer, n_in, n_in + 2 * radius, axis=0)
-        return (st2, new_halo), (out, produced)
+        return (st2, new_halo), (out, produced, natural > jnp.int32(n_out))
 
-    (state_out, _halo), (outputs, produced) = jax.lax.scan(
+    (state_out, _halo), (outputs, produced, over) = jax.lax.scan(
         step, (state, halo0), chunks
     )
     state_out = DeviceState(
@@ -191,44 +213,88 @@ def resample_scan(
         position_fractional=state_out.position_fractional,
         cfg=state_out.cfg,
     )
-    return outputs, produced, state_out
+    return outputs, produced, state_out, jnp.any(over)
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_taps", "n_out", "radius", "d", "cand", "interpret"),
+    static_argnames=("max_taps", "n_out", "radius", "increment", "interpret"),
 )
-def resample_scan_tiled(
+def resample_scan_fused(
     table,
-    chunks,              # (K, n_in, L) int32
+    chunks,              # (K, n_in, L) int16/int32
     state: DeviceState,
     *,
     max_taps: int,
     n_out: int,          # per-chunk cap: ((n_in + 2*radius) << 16)//inc + slack,
-                         # rounded up to 64
+                         # rounded up to the engine grain (64/8/128; 128 covers all)
     radius: int,
-    d: int,              # static plan_uniform params (increment < 2^17)
-    cand: int,
+    increment: int,      # static 16.16 increment: selects the kernel class
     interpret: bool = False,
 ):
-    """resample_scan with the fused Pallas kernel as the per-chunk engine.
+    """resample_scan with the fastest kernel for ``increment`` as the engine.
 
     Same semantics as resample_scan (one jitted lax.scan, halo carry, radius
-    position bias) but each step runs the tiled VPU kernel instead of the XLA
-    gather oracle — the fully-fused fast streaming pipeline for ratios with
-    increment < 2^17. Returns (outputs (K, n_out, L) int32 zero-masked,
-    produced (K,), state')."""
+    position bias) but each step runs the plan_uniform-selected fused path —
+    tiled Pallas (increment < 2^17), XLA strided (exact integer stride), or the
+    general per-frame Pallas kernel (wide non-integer downsampling) — so the
+    fully-fused whole-stream pipeline covers every ratio class the reference
+    accepts (the high-level chunk loop, clownresampler.h:1138-1173, as one
+    device computation for ANY ratio).
+
+    Returns (outputs (K, n_out, L) int32 zero-masked, produced (K,), state',
+    backlog bool); ``backlog`` as in resample_scan.
+    """
     from clownresampler_tpu.ops.pallas_resample import (
+        plan_uniform,
+        resample_integer_stride,
+        resample_uniform_lanes_general,
         resample_uniform_lanes_tiled,
         window_rows_needed,
     )
 
     k, n_in, l = chunks.shape
     assert n_in < 1 << 14
-    slack = window_rows_needed(max_taps, d, cand) + 8
+    plan = plan_uniform(increment, n_out)
+    if plan["kernel"] == "tiled":
+        assert n_out % 64 == 0, "tiled engine: n_out must be a multiple of 64"
+        slack = window_rows_needed(max_taps, plan["d"], plan["cand"]) + 8
+
+        def engine(buffer, st):
+            out, _ = resample_uniform_lanes_tiled(
+                table, buffer, st, max_taps=max_taps, n_out=n_out,
+                d=plan["d"], cand=plan["cand"], interpret=interpret,
+            )
+            return out
+    elif plan["kernel"] == "strided":
+        assert n_out % 8 == 0, "strided engine: n_out must be a multiple of 8"
+        # The strided path slices span rows from the first frame's window row
+        # (<= position carry bound d+1, biased +2*radius); keep the buffer big
+        # enough for the full padded launch.
+        span = (n_out - 1) * plan["d"] + max_taps
+        slack = max(32, span + plan["d"] + 16 - n_in)
+
+        def engine(buffer, st):
+            out, _ = resample_integer_stride(
+                table, buffer, st, max_taps=max_taps, n_out=n_out, d=plan["d"],
+            )
+            return out
+    else:
+        assert n_out % 128 == 0, "general engine: n_out must be a multiple of 128"
+        w_load = 16
+        while w_load < max_taps + 8:
+            w_load *= 2
+        slack = w_load + 8
+
+        def engine(buffer, st):
+            out, _ = resample_uniform_lanes_general(
+                table, buffer, st, max_taps=max_taps, n_out=n_out,
+                interpret=interpret,
+            )
+            return out
+
     halo0 = jnp.zeros((2 * radius, l), jnp.int32)
     zeros_slack = jnp.zeros((slack, l), jnp.int32)
-    s_rows = 2 * radius + n_in + slack
 
     state = DeviceState(
         position_integer=state.position_integer + jnp.int32(radius),
@@ -247,10 +313,7 @@ def resample_scan_tiled(
             jnp.int32(n_in),
         )
         produced = jnp.minimum(natural, jnp.int32(n_out))
-        out, _rows = resample_uniform_lanes_tiled(
-            table, buffer, st,
-            max_taps=max_taps, n_out=n_out, d=d, cand=cand, interpret=interpret,
-        )
+        out = engine(buffer, st)
         n = jnp.arange(n_out, dtype=jnp.int32)
         out = jnp.where((n < produced)[:, None], out, 0)
 
@@ -268,15 +331,48 @@ def resample_scan_tiled(
             cfg=st.cfg,
         )
         new_halo = jax.lax.slice_in_dim(buffer, n_in, n_in + 2 * radius, axis=0)
-        return (st2, new_halo), (out, produced)
+        return (st2, new_halo), (out, produced, natural > jnp.int32(n_out))
 
-    (state_out, _halo), (outputs, produced) = jax.lax.scan(step, (state, halo0), chunks)
+    (state_out, _halo), (outputs, produced, over) = jax.lax.scan(
+        step, (state, halo0), chunks
+    )
     state_out = DeviceState(
         position_integer=state_out.position_integer - jnp.int32(radius),
         position_fractional=state_out.position_fractional,
         cfg=state_out.cfg,
     )
-    return outputs, produced, state_out
+    return outputs, produced, state_out, jnp.any(over)
+
+
+def resample_scan_tiled(
+    table,
+    chunks,              # (K, n_in, L) int32
+    state: DeviceState,
+    *,
+    max_taps: int,
+    n_out: int,
+    radius: int,
+    d: int,              # static plan_uniform params (increment < 2^17)
+    cand: int,
+    interpret: bool = False,
+):
+    """Back-compat alias: the tiled-engine case of resample_scan_fused.
+
+    Reconstructs a representative increment for the (d, cand) plan the caller
+    already computed; prefer resample_scan_fused(increment=...) directly.
+    Returns (outputs, produced, state', backlog) like resample_scan_fused.
+    """
+    # Smallest lo with ceil((0xFFFF + 7*lo)/65536) == cand - 1 jitter bound.
+    lo = 0 if cand <= 1 else ((cand - 1) * 65536 - 0xFFFF + 6) // 7
+    increment = (d << 16) + lo
+    from clownresampler_tpu.ops.pallas_resample import plan_uniform
+
+    plan = plan_uniform(increment, n_out)
+    assert plan == {"kernel": "tiled", "d": d, "cand": cand}, plan
+    return resample_scan_fused(
+        table, chunks, state, max_taps=max_taps, n_out=n_out, radius=radius,
+        increment=increment, interpret=interpret,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +479,10 @@ class LowLevelResampler:
         )
 
         table = self.model.table()
-        use_fast = _jax.default_backend() == "tpu"
+        use_fast = (
+            _jax.default_backend() == "tpu"
+            and self._max_taps <= FAST_KERNEL_MAX_TAPS
+        )
         plan = plan_uniform(self.increment, 0) if use_fast else None
         if use_fast:
             # Fast kernels keep their input block VMEM-resident, so each tile
@@ -431,7 +530,15 @@ class LowLevelResampler:
                     )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             else:
-                n_pad = fx.round_up(tile, 512)
+                if self._max_taps > FAST_KERNEL_MAX_TAPS:
+                    # Wide-kernel oracle: the gather materialises
+                    # (n_pad, max_taps, C) windows — bound the launch footprint
+                    # and skip the recompilation-bucket padding (natural counts
+                    # at such ratios are tiny anyway).
+                    tile = min(tile, max(8, (1 << 22) // self._max_taps))
+                    n_pad = fx.round_up(tile, 8)
+                else:
+                    n_pad = fx.round_up(tile, 512)
                 n = np.arange(n_pad, dtype=np.int64)
                 tvec = f0 + n * self.increment
                 pos = (p0 + (tvec >> 16)).astype(np.int32)

@@ -1,14 +1,17 @@
 """ctypes loader for the native staging engine (native/stage.cpp).
 
-Compiles the shared library on first use (g++ -O3, cached next to the source);
-falls back to numpy implementations if the toolchain is unavailable. All entry
-points are differentially tested against the numpy fallbacks
-(tests/test_native.py).
+Compiles the shared library on first use (g++ -O3) into a build artifact keyed
+by the source hash — no binary is checked in, staleness detection doesn't
+depend on checkout mtimes, and `-march=native` is safe because the library is
+always built on the machine that runs it. Falls back to numpy implementations
+if the toolchain is unavailable. All entry points are differentially tested
+against the numpy fallbacks (tests/test_native.py).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,11 +20,16 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "stage.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libclownstage.so")
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_NATIVE_DIR, "build", f"libclownstage-{digest}.so")
 
 
 def _load():
@@ -31,14 +39,18 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            so = _so_path()
+            if not os.path.exists(so):
+                os.makedirs(os.path.dirname(so), exist_ok=True)
+                tmp = so + f".tmp{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-                     _SRC, "-o", _SO],
+                     _SRC, "-o", tmp],
                     check=True,
                     capture_output=True,
                 )
-            lib = ctypes.CDLL(_SO)
+                os.replace(tmp, so)  # atomic: concurrent builders converge
+            lib = ctypes.CDLL(so)
             L = ctypes.c_long
             lib.stage_i16_to_i32_lanes.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, L, L, L, L, L]

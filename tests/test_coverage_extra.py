@@ -58,10 +58,11 @@ def test_scan_reproduces_golden_prefix():
     chunks = jnp.asarray(pcm.reshape(k, n_in, 2))
     n_out_cap = ((n_in + 2 * r) * 65536) // inc + 16
     state = make_device_state(0, 0, cfg, inc)
-    outputs, produced, _ = resample_scan(
+    outputs, produced, _, backlog = resample_scan(
         jnp.asarray(lanczos_kernel_table()), chunks, state,
         max_taps=max_taps, n_out=int(n_out_cap), radius=r,
     )
+    assert not bool(backlog)
     outputs, produced = np.asarray(outputs), np.asarray(produced)
     got = np.concatenate([outputs[i, : produced[i]] for i in range(k)], axis=0)
     # The scan holds back a radius tail; everything it emitted must equal the

@@ -43,6 +43,17 @@ def test_high_level_example(wav_path):
     assert "8000 frames written" in out
 
 
+def test_realtime_playback_example(wav_path):
+    out = _run(["examples/realtime_playback.py"], wav_path, "out_rt.wav")
+    # 12000 * 32000/48000 = 8000 resampled frames + the radius tail the
+    # ResampleEnd flush emits, delivered in 512-frame device periods.
+    assert "device periods of 512" in out
+    import re
+
+    m = re.search(r"(\d+) frames written", out)
+    assert m and int(m.group(1)) >= 8000
+
+
 def test_cli_module(wav_path):
     out = _run(["-m", "clownresampler_tpu"], wav_path, "out_cli.wav")
     assert "8000 frames" in out

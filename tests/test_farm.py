@@ -156,6 +156,41 @@ def test_farm_strided_extreme_downsample():
     np.testing.assert_array_equal(out[0], want)
 
 
+def test_farm_launch_tiling_matches_host(monkeypatch):
+    """_launch tiles into sub-launches; tiled output == single-launch output.
+
+    Cheap multi-tile exercise: force tiny tiles so one process() crosses many
+    sub-launch boundaries (host-side p0/f0 re-derivation between tiles)."""
+    from clownresampler_tpu import farm as farm_mod
+
+    monkeypatch.setattr(farm_mod, "MAX_LAUNCH_OUTPUT_FRAMES", 64)
+    rng = np.random.default_rng(13)
+    for in_rate, out_rate in [(44100, 48000), (8000, 44100), (96000, 48000)]:
+        data = rng.integers(-32768, 32768, size=(2, 500, 2)).astype(np.int16)
+        farm = UniformStreamFarm(2, 2, in_rate, out_rate, chunk_frames=512,
+                                 interpret=True)
+        got = np.concatenate([farm.process(data), farm.flush()], axis=1)
+        for i in range(2):
+            want = _host_reference(data[i], 2, in_rate, out_rate,
+                                   max(in_rate, out_rate))
+            np.testing.assert_array_equal(got[i], want,
+                                          err_msg=f"{in_rate}->{out_rate} s{i}")
+
+
+def test_farm_large_chunk_int32_safe():
+    """Advisor regression: one huge process() must not wrap int32 positions.
+
+    At 44.1k->48k (inc_lo=60211) frame 35665's f0 + n*inc_lo exceeds 2^31;
+    the untiled farm silently emitted corrupt audio past that frame."""
+    rng = np.random.default_rng(17)
+    n = 36000
+    data = rng.integers(-32768, 32768, size=(1, n, 1)).astype(np.int16)
+    farm = UniformStreamFarm(1, 1, 44100, 48000, chunk_frames=n, interpret=True)
+    got = np.concatenate([farm.process(data), farm.flush()], axis=1)
+    want = _host_reference(data[0], 1, 44100, 48000, 48000)
+    np.testing.assert_array_equal(got[0], want)
+
+
 def test_farm_device_staging_matches_host_staging():
     """device_staging=True (device-resident buffer) == native host staging."""
     rng = np.random.default_rng(71)

@@ -142,7 +142,9 @@ def test_window_rows_needed_covers_tiles():
         tiles = rows.reshape(-1, 8)
         base = tiles[:, 0]
         worst = (tiles - base[:, None]).max() + (max_taps - 1)
-        assert worst + 7 < w + 0 or worst < w, (in_rate, out_rate, worst, w)
+        # +7: the kernel 8-aligns each tile's base load downward, so the
+        # window must also cover up to 7 rows of alignment slack.
+        assert worst + 7 < w, (in_rate, out_rate, worst, w)
 
 
 @pytest.mark.parametrize("in_rate,out_rate", GENERAL_RATIOS)

@@ -91,6 +91,8 @@ static const cc_u32f config_triples[][3] = {
     {192000, 44100, 44100},
     {44100, 192000, 192000},
     {65521, 65537, 65537},  /* near-unity prime rates */
+    {44100, 132, 44100},    /* wide kernel: scale ~334, radius 1003 */
+    {44100, 12, 44100},     /* near the scale<0x1000 cap: radius 11025 */
     {0, 44100, 44100},      /* zero rate -> sentinel ratio */
     {44100, 0, 44100},
     {300000000, 44100, 44100}, /* scale over 0x1000 -> Configure fails */
@@ -140,6 +142,7 @@ static void dump_lowest_level(const ClownResampler_Precomputed *pre)
         {8000, 44100, 44100}, {44100, 8000, 44100}, {48000, 44100, 44100},
         {96000, 48000, 96000}, {48000, 44100, 22050}, {7, 13, 13}, {13, 7, 13},
         {44100, 44100, 44100}, {40000, 997, 40000},
+        {44100, 132, 44100},  /* wide kernel, radius 1003 (full ratio domain) */
     };
     static const cc_u8f chans[] = {1, 2, 4, 16};
 
@@ -502,6 +505,19 @@ int main(int argc, char **argv)
         run_lowlevel_script(&pre, "ll_int_up", 1, 1, 2, 2, ops, 1, 300, 17);
         run_lowlevel_script(&pre, "ll_int_down", 1, 2, 1, 2, ops, 1, 300, 17);
         run_lowlevel_script(&pre, "ll_unity", 2, 44100, 44100, 44100, ops, 1, 300, 17);
+    }
+    {
+        /* D6: wide-kernel ratio domain. Configure accepts any kernel_scale
+           < 0x1000 (clownresampler.h:974-975), but scales above the kernel
+           RESOLUTION floor kernel_step_size to 0 and the normaliser division
+           (line 1025) SIGFPEs on the first frame — 44100->44 (scale ~1002,
+           radius 3007) is the widest ratio the reference can actually run;
+           44100->43 and below crash. These pin radius 1003 and the de facto
+           maximum 3007. */
+        static const long long ops_wide[] = { 1, 4000, 1000000, 0 };
+        static const long long ops_ultra[] = { 1, 12000, 1000000, 0 };
+        run_lowlevel_script(&pre, "ll_wide", 2, 44100, 132, 44100, ops_wide, 1, 4000, 1003);
+        run_lowlevel_script(&pre, "ll_ultrawide", 1, 44100, 44, 44100, ops_ultra, 1, 12000, 3007);
     }
 
     /* ---- high-level scripts ---- */

@@ -100,6 +100,45 @@ def main() -> int:
         failures += not ok
         print(f"{'PASS' if ok else 'FAIL'} compiled {plan['kernel']} kernel {in_rate}->{out_rate}")
 
+    # 3. Wide in-guard kernel (radius ~505, taps 1016 <= FAST_KERNEL_MAX_TAPS):
+    # the compiled general kernel at its widest allowed window.
+    in_rate, out_rate = 44100, 262
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    state = make_device_state(0, 0x4321, cfg, inc)
+    max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    n_out = 128
+    s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 2048 + 96
+    s = -(-s // 16) * 16
+    x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
+    got, _ = resample_uniform_lanes_general(
+        table, x, state, max_taps=max_taps, n_out=n_out)
+    n = jnp.arange(n_out, dtype=jnp.int32)
+    pos, frac = fx.positions_from_state(
+        state.position_integer, state.position_fractional,
+        state.cfg.increment_hi, state.cfg.increment_lo, n)
+    want = convolve_frames(table, x, pos, frac, state.cfg, max_taps)
+    ok = np.array_equal(np.asarray(got), np.asarray(want))
+    failures += not ok
+    print(f"{'PASS' if ok else 'FAIL'} compiled general kernel wide (radius "
+          f"{cfg.integer_stretched_kernel_radius}, taps {max_taps})")
+
+    # 4. Full ratio domain on hardware: replay the C-oracle wide-kernel
+    # streaming scripts (radius 1003 / 3007 — the oracle-fallback path the
+    # width guard routes to on TPU) bit-for-bit.
+    from tests import oracle
+    from tests.test_lowlevel import _replay
+
+    for script in oracle.scripts("lowlevel"):
+        if script[0] not in ("ll_wide", "ll_ultrawide"):
+            continue
+        try:
+            _replay(*script)
+            print(f"PASS oracle script {script[0]} on TPU")
+        except AssertionError as e:
+            failures += 1
+            print(f"FAIL oracle script {script[0]} on TPU: {e}")
+
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
