@@ -37,7 +37,10 @@ def main() -> None:
     B, CH = 1024, 2
     LANES_TOTAL = B * CH
     IN_RATE, OUT_RATE = 48000, 44100
-    N_OUT = 4096
+    # 8192 frames/launch amortises this environment's flat ~30 us per-program
+    # dispatch floor ~2x better than 4096 (tools/probe_launch_overhead.py);
+    # 16384 exceeds the Mosaic VMEM budget for the double-buffered input block.
+    N_OUT = 8192
 
     cfg = configure(IN_RATE, OUT_RATE, OUT_RATE)
     inc = fx.calculate_ratio(IN_RATE, OUT_RATE)

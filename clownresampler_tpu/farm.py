@@ -27,19 +27,12 @@ import numpy as np
 
 from clownresampler_tpu import fixedpoint as fx
 from clownresampler_tpu.configure import Configuration, configure
-from clownresampler_tpu.lowlevel import (
-    FAST_KERNEL_MAX_TAPS,
-    _convolve_jit,
-    make_device_state,
-)
-from clownresampler_tpu.ops.convolve import ConfigScalars
+from clownresampler_tpu.lowlevel import FAST_KERNEL_MAX_TAPS, make_device_state
 from clownresampler_tpu.models import DEFAULT_MODEL, KernelModel
 from clownresampler_tpu.ops.pallas_resample import (
     LANES,
+    multi_resample,
     plan_uniform,
-    resample_integer_stride,
-    resample_uniform_lanes_general,
-    resample_uniform_lanes_tiled,
     window_rows_needed,
 )
 from clownresampler_tpu.utils import native
@@ -48,6 +41,12 @@ from clownresampler_tpu.utils import native
 # fx.positions_from_state, int32-exact only while f0 + n*inc_lo < 2^31,
 # i.e. n < 2^15 in the worst case. Same bound as lowlevel.MAX_CHUNK_OUTPUT_FRAMES.
 MAX_LAUNCH_OUTPUT_FRAMES = 1 << 14
+
+# The Pallas kernels keep the (rows, 128) input block VMEM-resident and Mosaic
+# double-buffers it across lane-tiles; empirically ~8.9k rows compiles and
+# ~17.9k rows fails on v5e (tools/probe_launch_overhead.py). Staging buffers
+# beyond this row count route to the XLA gather oracle instead.
+VMEM_SAFE_INPUT_ROWS = 12288
 
 
 class UniformStreamFarm:
@@ -168,86 +167,90 @@ class UniformStreamFarm:
         num = ((total_frames - self.position_integer) << 16) - self.position_fractional
         return 0 if num <= 0 else -(-num // self.increment)
 
-    def _launch(self, n_out: int) -> np.ndarray:
-        """Run the best kernel for the current plan over the staging buffer.
+    def _launch_specs(self, n_out: int) -> list:
+        """Sub-launch descriptors [(tile, state, plan_tuple), ...] producing
+        frames [0, n_out) from the staging buffer.
 
         Tiled into <= 2^14-frame sub-launches: device positions come from
         fx.positions_from_state, which is int32-exact only for n < 2^15
         (f0 + n*inc_lo must stay below 2^31); p0/f0 advance host-side in
         exact Python ints between tiles, like LowLevelResampler._compute_frames.
+        Plan tuples are the static halves of ops.pallas_resample.multi_resample
+        launches, so a MixedStreamFarm can fuse every group's sub-launches into
+        ONE device program (one ~30 us dispatch floor instead of G).
         """
-        plan_probe = plan_uniform(self.increment, 0)
+        kind = None
+        if self._max_taps > FAST_KERNEL_MAX_TAPS:
+            # Wide-kernel oracle fallback (see lowlevel.FAST_KERNEL_MAX_TAPS):
+            # clamped-gather convolution; bound the (tile, taps, L) gather.
+            kind, d, cand = "oracle", None, None
+            step = max(8, (1 << 22) // self._max_taps)
+        else:
+            plan = plan_uniform(self.increment, 0)
+            kind, d, cand = plan["kernel"], plan.get("d"), plan.get("cand")
+            if kind in ("tiled", "general") and self._capacity > VMEM_SAFE_INPUT_ROWS:
+                kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
+            step = MAX_LAUNCH_OUTPUT_FRAMES
         # Padding granularity per kernel: tiled needs 8*group=64, the general
-        # kernel needs 128, strided only 8 (minimising its d-scaled over-read).
-        grain = {"tiled": 64, "strided": 8, "general": 128}[plan_probe["kernel"]]
+        # kernel needs 128, strided/oracle only 8.
+        grain = {"tiled": 64, "strided": 8, "general": 128, "oracle": 8}[kind]
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
         # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
         # before the data, so shift launch positions by the difference when
         # the current radius is narrower than the reserved bound.
         halo_shift = self._radius_bound - self.config.integer_stretched_kernel_radius
-        x = self._staging if self._device_staging else jnp.asarray(self._staging)
 
-        if self._max_taps > FAST_KERNEL_MAX_TAPS:
-            # Wide-kernel oracle fallback (see lowlevel.FAST_KERNEL_MAX_TAPS):
-            # positions host-side in exact ints, clamped-gather convolution on
-            # device. Natural counts at such extreme downsampling ratios are
-            # tiny, so one launch per call is the common case.
-            cfg = ConfigScalars.from_configuration(self.config, self.increment)
-            parts = []
-            done = 0
-            while done < n_out:
-                tile = min(n_out - done, max(8, (1 << 22) // self._max_taps))
-                t = self.position_fractional + done * self.increment
-                n = np.arange(tile, dtype=np.int64)
-                tvec = (t & 0xFFFF) + n * self.increment
-                base = self.position_integer + (t >> 16) + halo_shift
-                pos = jnp.asarray(base + (tvec >> 16), jnp.int32)
-                frac = jnp.asarray(tvec & 0xFFFF, jnp.int32)
-                out = _convolve_jit(self._table, x, pos, frac, cfg, self._max_taps)
-                if self.clamp_s16:
-                    out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
-                parts.append(np.asarray(out))
-                done += tile
-            return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
-
-        parts = []
+        specs = []
         done = 0
         while done < n_out:
-            tile = min(n_out - done, MAX_LAUNCH_OUTPUT_FRAMES)
+            tile = min(n_out - done, step)
             n_pad = fx.round_up(max(tile, grain), grain)
             t = self.position_fractional + done * self.increment
             p0 = self.position_integer + (t >> 16) + halo_shift
             f0 = t & 0xFFFF
             state = make_device_state(p0, f0, self.config, self.increment)
-            plan = plan_uniform(self.increment, n_pad)
-            if plan["kernel"] == "tiled":
-                out, _ = resample_uniform_lanes_tiled(
-                    self._table, x, state,
-                    max_taps=self._max_taps, n_out=n_pad,
-                    d=plan["d"], cand=plan["cand"], clamp_s16=self.clamp_s16,
-                    interpret=self.interpret,
-                )
-            elif plan["kernel"] == "strided":
-                out, _ = resample_integer_stride(
-                    self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
-                    d=plan["d"], clamp_s16=self.clamp_s16,
-                )
-            else:
-                out, _ = resample_uniform_lanes_general(
-                    self._table, x, state, max_taps=self._max_taps, n_out=n_pad,
-                    clamp_s16=self.clamp_s16, interpret=self.interpret,
-                )
-            parts.append(np.asarray(out)[:tile])
+            specs.append(
+                (tile, state, (kind, d, cand, self._max_taps, n_pad, self.clamp_s16))
+            )
             done += tile
+        return specs
+
+    def _staging_device(self):
+        return self._staging if self._device_staging else jnp.asarray(self._staging)
+
+    def _collect_parts(self, specs: list, outs: list) -> np.ndarray:
+        parts = [np.asarray(out)[:tile] for (tile, _, _), out in zip(specs, outs)]
         return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+    def _launch(self, n_out: int) -> np.ndarray:
+        """Run the best kernel(s) for the current plan over the staging buffer
+        as one device program."""
+        specs = self._launch_specs(n_out)
+        x = self._staging_device()
+        outs = multi_resample(
+            self._table,
+            tuple(x for _ in specs),
+            tuple(state for _, state, _ in specs),
+            tuple(plan for *_, plan in specs),
+            interpret=self.interpret,
+        )
+        return self._collect_parts(specs, outs)
 
     def _emit(self, total_frames: int) -> np.ndarray:
         """Produce every frame available against `total_frames` of data, then
         slide the staging window (LowLevel position carry, 1063-1068)."""
-        out_dtype = np.int16 if self.clamp_s16 else np.int32
         n_out = self._natural_count(total_frames)
+        lanes_out = self._launch(n_out) if n_out > 0 else None
+        return self._finish_emit(total_frames, n_out, lanes_out)
+
+    def _finish_emit(
+        self, total_frames: int, n_out: int, lanes_out: Optional[np.ndarray]
+    ) -> np.ndarray:
+        """De-interleave launched lanes, advance the phase, slide the staging
+        window. Split from _emit so MixedStreamFarm can run every group's
+        launches as one combined device program between the two halves."""
+        out_dtype = np.int16 if self.clamp_s16 else np.int32
         if n_out > 0:
-            lanes_out = self._launch(n_out)
             if self.clamp_s16:
                 # int16 lanes: plain numpy de-interleave (the native engine's
                 # unstage is int32-specific).
@@ -279,9 +282,10 @@ class UniformStreamFarm:
         self._fill = keep
         return result
 
-    def process(self, chunk: np.ndarray) -> np.ndarray:
-        """Feed (n_streams, n, channels) int16; returns (n_streams, m, channels)
-        wide int32 output frames (m varies with phase, ~n*out_rate/in_rate)."""
+    def _stage(self, chunk: np.ndarray) -> int:
+        """Stage one input chunk; returns the consumable frame count (the
+        last `radius` data rows stay held back until more data or flush
+        arrives — the high-level buffer's early `input_buffer_end`, 1154)."""
         chunk = np.ascontiguousarray(chunk, dtype=np.int16)
         b, n, c = chunk.shape
         assert b == self.n_streams and c == self.channels and n <= self.chunk_frames
@@ -294,10 +298,12 @@ class UniformStreamFarm:
         else:
             native.stage_chunk(chunk, self._staging, self._fill)
         self._fill += n
-        # Hold back a trailing halo: the last `radius` data rows stay
-        # unconsumable until more data (or flush) arrives — the same trick as
-        # the high-level buffer's early `input_buffer_end` (1154).
-        total = self._fill - 2 * self._radius_bound
+        return self._fill - 2 * self._radius_bound
+
+    def process(self, chunk: np.ndarray) -> np.ndarray:
+        """Feed (n_streams, n, channels) int16; returns (n_streams, m, channels)
+        wide int32 output frames (m varies with phase, ~n*out_rate/in_rate)."""
+        total = self._stage(chunk)
         out_dtype = np.int16 if self.clamp_s16 else np.int32
         return self._emit(total) if total > 0 else np.zeros(
             (self.n_streams, 0, self.channels), out_dtype
@@ -322,8 +328,15 @@ class MixedStreamFarm:
 
     Streams share nothing (SURVEY.md section 2: no cross-stream communication
     exists to replicate), so a mixed fleet decomposes exactly into one
-    UniformStreamFarm per distinct (rates, lpf) triple; launches for different
-    groups pipeline on the device back-to-back. This is the BASELINE.json
+    UniformStreamFarm per distinct (rates, lpf) triple — and every group's
+    kernel launches for a chunk are FUSED into one device program
+    (ops.pallas_resample.multi_resample): this environment has a flat
+    ~30 us per-program dispatch floor, so G separate group launches cost
+    ~G x more than one combined program at small group sizes (the round-1
+    config-5 gap). Each group still runs its own plan-specialised kernel at
+    full speed inside the combined program, which dominates a per-lane-group
+    ragged kernel (that would force every group onto the general per-frame
+    code path to unify the kernel statics). This is the BASELINE.json
     config-5 "mixed-ratio transcode farm" as an API.
 
     ``specs`` is a list of per-stream (input_rate, output_rate[, lpf]) tuples.
@@ -355,11 +368,55 @@ class MixedStreamFarm:
 
     def process(self, chunks: list) -> list:
         """chunks[i]: (n, channels) int16 for stream i (equal n per call).
-        Returns outputs[i]: (m_i, channels) int32 (m varies per ratio)."""
-        outputs: list = [None] * self.n_streams
+        Returns outputs[i]: (m_i, channels) int32 (m varies per ratio).
+
+        All groups' kernel launches for this chunk run as ONE device program
+        (see class docstring); staging and the post-launch bookkeeping stay
+        per-group.
+        """
+        # Stage every group's chunk, collect each group's sub-launch specs.
+        pending = []  # (farm, members, total, n_out, specs)
         for farm, members in self._groups.values():
             batch = np.stack([np.asarray(chunks[i], np.int16) for i in members])
-            out = farm.process(batch)
+            total = farm._stage(batch)
+            n_out = farm._natural_count(total) if total > 0 else 0
+            specs = farm._launch_specs(n_out) if n_out > 0 else []
+            pending.append((farm, members, total, n_out, specs))
+
+        # One combined launch across every group's specs.
+        xs, states, plans = [], [], []
+        for farm, _, _, _, specs in pending:
+            x = farm._staging_device()
+            for _, state, plan in specs:
+                xs.append(x)
+                states.append(state)
+                plans.append(plan)
+        if xs:
+            table = pending[0][0]._table  # groups share the kernel model
+            interpret = pending[0][0].interpret
+            outs = list(
+                multi_resample(
+                    table, tuple(xs), tuple(states), tuple(plans),
+                    interpret=interpret,
+                )
+            )
+        else:
+            outs = []
+
+        # Distribute results and run each group's bookkeeping.
+        outputs: list = [None] * self.n_streams
+        cursor = 0
+        for farm, members, total, n_out, specs in pending:
+            if n_out > 0:
+                lanes_out = farm._collect_parts(specs, outs[cursor : cursor + len(specs)])
+                cursor += len(specs)
+            else:
+                lanes_out = None
+            if total > 0:
+                out = farm._finish_emit(total, n_out, lanes_out)
+            else:
+                dtype = np.int16 if farm.clamp_s16 else np.int32
+                out = np.zeros((farm.n_streams, 0, farm.channels), dtype)
             for j, i in enumerate(members):
                 outputs[i] = out[j]
         return outputs

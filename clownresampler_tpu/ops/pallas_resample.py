@@ -401,6 +401,62 @@ def resample_integer_stride(
 
 
 # ---------------------------------------------------------------------------
+# Combined multi-launch: several uniform-ratio launches in ONE XLA program
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("plans", "interpret"))
+def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
+                   interpret: bool = False) -> tuple:
+    """Run several independent uniform-ratio launches as ONE device program.
+
+    ``plans[i]`` is a hashable static tuple
+    (kind, d, cand, max_taps, n_out, clamp_s16) with kind in
+    {"tiled", "strided", "general", "oracle"}; xs[i]/states[i] are that
+    launch's input block and phase state. Returns a tuple of outputs.
+
+    Why this exists: dispatching a compiled program costs a flat ~25-35 us in
+    this environment regardless of content (measured: a 128-lane launch and a
+    4096-lane launch take the same wall time; benchmarks/RESULTS.md). A
+    mixed-ratio fleet split into G ratio groups therefore pays G dispatch
+    floors per chunk if each group launches separately; fusing the G launches
+    into one jitted program pays one. Each group still runs its own
+    plan-specialised kernel at full speed — this dominates a per-lane-group
+    "ragged" kernel, which would force every group onto the slowest
+    (general per-frame) code path to unify statics.
+    """
+    from clownresampler_tpu.ops.convolve import convolve_frames
+
+    outs = []
+    for x, st, p in zip(xs, states, plans):
+        kind, d, cand, max_taps, n_out, clamp = p
+        if kind == "tiled":
+            out, _ = resample_uniform_lanes_tiled(
+                table, x, st, max_taps=max_taps, n_out=n_out, d=d, cand=cand,
+                clamp_s16=clamp, interpret=interpret,
+            )
+        elif kind == "strided":
+            out, _ = resample_integer_stride(
+                table, x, st, max_taps=max_taps, n_out=n_out, d=d, clamp_s16=clamp,
+            )
+        elif kind == "general":
+            out, _ = resample_uniform_lanes_general(
+                table, x, st, max_taps=max_taps, n_out=n_out, clamp_s16=clamp,
+                interpret=interpret,
+            )
+        else:  # "oracle": wide-kernel gather fallback (lowlevel.FAST_KERNEL_MAX_TAPS)
+            n = jnp.arange(n_out, dtype=jnp.int32)
+            pos, frac = fx.positions_from_state(
+                st.position_integer, st.position_fractional,
+                st.cfg.increment_hi, st.cfg.increment_lo, n,
+            )
+            out = convolve_frames(table, x, pos, frac, st.cfg, max_taps)
+            if clamp:
+                out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
+        outs.append(out)
+    return tuple(outs)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch planning
 # ---------------------------------------------------------------------------
 
