@@ -506,10 +506,21 @@ class LowLevelResampler:
                 tile = min(tile, max_tile_frames)
                 grain = {"tiled": 64, "strided": 8, "general": 128}[plan["kernel"]]
                 n_pad = fx.round_up(tile, grain)
-                # Row window [p0, p0 + rows_budget), zero-padded past the
-                # stream end; positions rebased to the window start.
-                window = np.zeros((rows_budget, lanes_pad), np.int32)
-                avail = min(rows_budget, padded_input.shape[0] - p0)
+                # Row window [p0, p0 + rows), zero-padded past the stream end;
+                # positions rebased to the window start. Rows are bucketed to
+                # powers of two: small tiles (e.g. HighLevel refills of ~2k
+                # frames) then upload a few hundred KB instead of the full
+                # 16384-row budget, while the bucket count bounds recompiles.
+                rows = min(
+                    rows_budget,
+                    ((n_pad * self.increment) >> 16) + self._max_taps + slack,
+                )
+                bucket = 1024
+                while bucket < rows:
+                    bucket *= 2
+                rows = min(bucket, rows_budget)
+                window = np.zeros((rows, lanes_pad), np.int32)
+                avail = min(rows, padded_input.shape[0] - p0)
                 if avail > 0:
                     window[:avail, : self.channels] = padded_input[p0 : p0 + avail]
                 state = make_device_state(0, f0, self.config, self.increment)
