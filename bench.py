@@ -7,12 +7,24 @@ Baseline (BASELINE.md): the C reference measured 37.4M output frames/s =
 74.9 Msamples/s single-core for stereo 48k->44.1k; the north-star target is
 >=100x that on one TPU chip (BASELINE.json).
 
-Methodology: steady-state pipelined dispatch of INDEPENDENT chunk launches —
-the farm's real duty cycle (each chunk's input doesn't depend on the previous
-chunk's output). Every launch uses a distinct (state, input) pair so nothing
-can be cached, deduplicated, or constant-folded; timing blocks on all results.
-(Fully serialized launches instead measure the ~1 ms host<->device dispatch
-latency of this environment, not the device.)
+Methodology (HONEST, round 2 — the K-slope chain):
+
+  1. K kernel invocations are CHAINED INSIDE ONE jitted lax.scan, each step's
+     input data-dependent on the previous step's output
+     (x[0,0] += out[0,0] & 1 — not constant-foldable), so the device MUST
+     serialize K full kernel executions; timing runs from dispatch to a
+     forced device->host read of the final carry.
+  2. The chain is timed at two lengths K1 < K2; the per-kernel time is the
+     SLOPE (T2 - T1) / (K2 - K1), which cancels every fixed per-program cost.
+
+Why this is necessary on this relay (measured, tools/probe_launch_overhead.py
+and the round-2 probes): (a) block_until_ready returns when the relay ACKS,
+not when compute finishes — "pipelined independent launches" time the ack
+stream at a payload-independent ~30 us/launch, hundreds of times faster than
+the VPU can compute; (b) every dispatched program carries ~60 ms of flat
+relay overhead (dispatch + first D2H), which would swamp the kernel if
+charged to it. The slope excludes the fiction AND the relay tax: it is the
+pure device compute rate, which is what survives on co-located hardware.
 """
 
 import json
@@ -37,10 +49,8 @@ def main() -> None:
     B, CH = 1024, 2
     LANES_TOTAL = B * CH
     IN_RATE, OUT_RATE = 48000, 44100
-    # 8192 frames/launch amortises this environment's flat ~30 us per-program
-    # dispatch floor ~2x better than 4096 (tools/probe_launch_overhead.py);
-    # 16384 exceeds the Mosaic VMEM budget for the double-buffered input block.
-    N_OUT = 8192
+    N_OUT = 8192   # frames per kernel invocation (16384 exceeds Mosaic VMEM)
+    K1, K2 = 8, 40
 
     cfg = configure(IN_RATE, OUT_RATE, OUT_RATE)
     inc = fx.calculate_ratio(IN_RATE, OUT_RATE)
@@ -50,53 +60,70 @@ def main() -> None:
     s = ((N_OUT * inc) >> 16) + 96
     s = -(-s // 16) * 16
     rng = np.random.default_rng(0)
+    # ALL host->device transfers happen before the first execution.
     table = jnp.asarray(lanczos_kernel_table())
-    xs = [
-        jnp.asarray(rng.integers(-32768, 32768, size=(s, LANES_TOTAL)).astype(np.int32))
-        for _ in range(4)
-    ]
-    states = [make_device_state(0, f, cfg, inc) for f in range(16)]
+    x0 = jnp.asarray(
+        rng.integers(-32768, 32768, size=(s, LANES_TOTAL)).astype(np.int32)
+    )
+    state = make_device_state(0, 0x4321, cfg, inc)
+    jax.block_until_ready([table, x0])
 
-    def run(k):
-        outs = []
-        for i in range(k):
-            out, _ = resample_uniform_lanes_tiled(
-                table,
-                xs[i % len(xs)],
-                states[i % len(states)],
-                max_taps=max_taps,
-                n_out=N_OUT,
-                d=plan["d"],
-                cand=plan["cand"],
-            )
-            outs.append(out)
-        jax.block_until_ready(outs)
+    def body(x, _):
+        out, _rows = resample_uniform_lanes_tiled(
+            table, x, state,
+            max_taps=max_taps, n_out=N_OUT, d=plan["d"], cand=plan["cand"],
+        )
+        # feed one non-foldable output bit into the next input: forces true
+        # serialization and defeats dead-code elimination
+        return x.at[0, 0].add(out[0, 0] & 1), out[0, 0]
 
-    run(8)  # warm up / compile
-    # The device is behind a shared relay; contention inflates some windows.
-    # Measure several windows and report BOTH the best (device capability,
-    # least-contended window) and the median (typical run under contention).
-    iters = 48
-    dts = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        run(iters)
-        dts.append((time.perf_counter() - t0) / iters)
+    def make_chain(k):
+        @jax.jit
+        def chain(x):
+            x, lasts = jax.lax.scan(body, x, None, length=k)
+            return x[0, 0], lasts
+
+        return chain
+
+    def timed(chain):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            r = chain(x0)
+            jax.block_until_ready(r)
+            _ = np.asarray(r[0])       # real completion, not just the ack
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    chain1, chain2 = make_chain(K1), make_chain(K2)
+    for c in (chain1, chain2):        # compile + warm both programs
+        r = c(x0)
+        jax.block_until_ready(r)
+        _ = np.asarray(r[0])
+
+    t1s, t2s = timed(chain1), timed(chain2)
+    per_kernel_best = (min(t2s) - min(t1s)) / (K2 - K1)
+    per_kernel_median = (float(np.median(t2s)) - float(np.median(t1s))) / (K2 - K1)
 
     samples_per_launch = N_OUT * LANES_TOTAL
-    msamples_best = samples_per_launch / min(dts) / 1e6
-    msamples_median = samples_per_launch / float(np.median(dts)) / 1e6
     baseline_msamples = 74.9  # BASELINE.md single-core C anchor
+
+    def msps(dt):
+        return samples_per_launch / max(dt, 1e-9) / 1e6
+
     print(
         json.dumps(
             {
-                "metric": "batched stereo 48k->44.1k output throughput (1024 streams, 1 chip, Pallas)",
-                "value": round(msamples_best, 1),
+                "metric": "batched stereo 48k->44.1k output throughput (1024 streams, 1 chip, Pallas, K-slope chained)",
+                "value": round(msps(per_kernel_best), 1),
                 "unit": "Msamples/s",
-                "vs_baseline": round(msamples_best / baseline_msamples, 2),
-                "best_of_windows": len(dts),
-                "median": round(msamples_median, 1),
-                "median_vs_baseline": round(msamples_median / baseline_msamples, 2),
+                "vs_baseline": round(msps(per_kernel_best) / baseline_msamples, 2),
+                "median": round(msps(per_kernel_median), 1),
+                "median_vs_baseline": round(
+                    msps(per_kernel_median) / baseline_msamples, 2
+                ),
+                "per_kernel_ms": round(per_kernel_best * 1e3, 3),
+                "slope_K": [K1, K2],
             }
         )
     )

@@ -11,20 +11,18 @@ Configs (BASELINE.json):
   5.  1024-stream mixed-ratio stereo transcode farm (one fused program)
   6.  wide non-integer downsample 44.1k->8k (general kernel)
 
-Methodology: steady-state pipelined dispatch of independent launches with
-distinct (state, input) pairs, blocking on all results (see bench.py).
-vs_baseline divides by the C reference's single-core Msamples/s for the
-closest measured anchor (BASELINE.md).
+Methodology: the K-SLOPE CHAIN (see bench.py docstring): K kernel iterations
+chained inside one jitted lax.scan with data feedback (x[0,0] += out[0,0]&1),
+timed at two chain lengths; the slope (T2-T1)/(K2-K1) is the true
+per-iteration device time, cancelling this relay's fixed per-program overhead
+(~60 ms) and immune to its ack-before-completion behavior (block_until_ready
+lies here; pipelined-launch timing measures the ack stream, not the device —
+the round-1 numbers produced that way were fiction). vs_baseline divides by
+the C reference's single-core Msamples/s for the closest measured anchor
+(BASELINE.md).
 
-EACH CONFIG RUNS IN ITS OWN SUBPROCESS. The axon relay permanently degrades a
-process's dispatch pipelining (~30 us -> ~1.5 ms per launch) once host
-transfers are interleaved with the execution stream — ~20 execute->transfer
-->execute cycles are enough, and neither idling nor clear_backends() heals
-it (tools/probe_launch_overhead.py findings, round 2). Host-driven configs
-(1b, 4b) inherently interleave transfers, so they must not share a process
-with the launch-throughput configs; isolation also keeps every config's
-number honest in the same way. Device-side measurement loops perform ALL
-transfers (inputs, state scalars) before the first measured launch.
+EACH CONFIG RUNS IN ITS OWN SUBPROCESS (clean relay connection; host-driven
+configs 1b/4b interleave transfers, which would perturb other configs).
 
 Run on the TPU: python benchmarks/run_all.py
 """
@@ -40,6 +38,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6"]
+
+K1, K2 = 4, 16
+
+
+def _kslope(body, carry0, k1=K1, k2=K2, reps=4):
+    """Per-iteration seconds of `body` via the two-length chained scan."""
+    import jax
+
+    def make(k):
+        @jax.jit
+        def chain(c):
+            c, _ = jax.lax.scan(lambda cc, _: (body(cc), None), c, None, length=k)
+            leaf = jax.tree_util.tree_leaves(c)[0]
+            return leaf.ravel()[0]
+
+        return chain
+
+    c1, c2 = make(k1), make(k2)
+    for c in (c1, c2):  # compile + warm; force real completion
+        r = c(carry0)
+        jax.block_until_ready(r)
+        _ = np.asarray(r)
+
+    def best_time(c):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = c(carry0)
+            jax.block_until_ready(r)
+            _ = np.asarray(r)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (best_time(c2) - best_time(c1)) / (k2 - k1)
+
+
+def _report(name, samples_per_iter, dt, anchor_msps):
+    msps = samples_per_iter / max(dt, 1e-9) / 1e6
+    print(json.dumps({
+        "metric": name,
+        "value": round(msps, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / anchor_msps, 2),
+        "per_iter_ms": round(dt * 1e3, 3),
+    }), flush=True)
 
 
 def _bench_common():
@@ -59,11 +102,10 @@ def _bench_common():
 
     table = jnp.asarray(lanczos_kernel_table())
     rng = np.random.default_rng(0)
-    # 8192 frames/launch amortises the ~30 us per-program dispatch floor
-    # (tools/probe_launch_overhead.py); 16384 exceeds the Mosaic VMEM budget.
-    n_out_default = 8192
+    n_out_default = 8192  # 16384-frame multi-lane inputs exceed Mosaic VMEM
 
-    def make_launch(in_rate, out_rate, lanes, lpf=None, n_out=None):
+    def make_body(in_rate, out_rate, lanes, lpf=None, n_out=None):
+        """(body, x0, samples_per_iter) for one kernel class at one ratio."""
         n_out = n_out or n_out_default
         lpf = lpf or max(in_rate, out_rate)
         cfg = configure(in_rate, out_rate, lpf)
@@ -72,70 +114,48 @@ def _bench_common():
         max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
         s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
         s = -(-s // 16) * 16
-        xs = [
-            jnp.asarray(rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
-            for _ in range(2)
-        ]
-        states = [make_device_state(0, f, cfg, inc) for f in range(8)]
+        x0 = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32)
+        )
+        state = make_device_state(0, 0x4321, cfg, inc)
+        jax.block_until_ready(x0)
 
         if plan["kernel"] == "tiled":
-            fn = lambda x, st: resample_uniform_lanes_tiled(
-                table, x, st, max_taps=max_taps, n_out=n_out,
+            fn = lambda x: resample_uniform_lanes_tiled(
+                table, x, state, max_taps=max_taps, n_out=n_out,
                 d=plan["d"], cand=plan["cand"])[0]
         elif plan["kernel"] == "strided":
-            fn = lambda x, st: resample_integer_stride(
-                table, x, st, max_taps=max_taps, n_out=n_out, d=plan["d"])[0]
+            fn = lambda x: resample_integer_stride(
+                table, x, state, max_taps=max_taps, n_out=n_out, d=plan["d"])[0]
         else:
-            fn = lambda x, st: resample_uniform_lanes_general(
-                table, x, st, max_taps=max_taps, n_out=n_out)[0]
-        return fn, xs, states, n_out
+            fn = lambda x: resample_uniform_lanes_general(
+                table, x, state, max_taps=max_taps, n_out=n_out)[0]
 
-    def pipeline_time(launches, iters=64):
-        """launches: list of (fn, xs, states, n_out); round-robin pipelined."""
-        import jax
+        def body(x):
+            out = fn(x)
+            return x.at[0, 0].add(out[0, 0] & 1)
 
-        outs = []
-        for i in range(8):  # warm/compile
-            fn, xs, states, _ = launches[i % len(launches)]
-            outs.append(fn(xs[i % len(xs)], states[i % len(states)]))
-        jax.block_until_ready(outs)
-        best = float("inf")
-        for _ in range(3):
-            outs = []
-            t0 = time.perf_counter()
-            for i in range(iters):
-                fn, xs, states, _ = launches[i % len(launches)]
-                outs.append(fn(xs[i % len(xs)], states[(i * 3 + 1) % len(states)]))
-            jax.block_until_ready(outs)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
-    def report(name, lanes, dt, anchor_msps, n_out=None):
-        msps = (n_out or n_out_default) * lanes / dt / 1e6
-        print(json.dumps({
-            "metric": name,
-            "value": round(msps, 1),
-            "unit": "Msamples/s",
-            "vs_baseline": round(msps / anchor_msps, 2),
-        }), flush=True)
+        return body, x0, n_out * lanes
 
     return locals()
 
 
 def run_config(which: str) -> None:
     env = _bench_common()
-    make_launch = env["make_launch"]
-    pipeline_time = env["pipeline_time"]
-    report = env["report"]
+    make_body = env["make_body"]
     rng = env["rng"]
     table = env["table"]
     n_out_default = env["n_out_default"]
     import jax
+    import jax.numpy as jnp
 
     if which == "1":
-        # latency-bound shape: one real stream padded to the 128-lane tile
-        dt = pipeline_time([make_launch(48000, 44100, 128)])
-        report("config1 mono 48k->44.1k single-stream (128-lane padded)", 1, dt, 37.4)
+        # latency-bound shape: one real stream padded to the 128-lane tile;
+        # only that stream's samples are counted
+        body, x0, _ = make_body(48000, 44100, 128)
+        dt = _kslope(body, x0)
+        _report("config1 mono 48k->44.1k single-stream (128-lane padded)",
+                n_out_default * 1, dt, 37.4)
 
     elif which == "1b":
         # the actual HighLevelResampler API: host-driven 0x1000-buffer
@@ -165,19 +185,21 @@ def run_config(which: str) -> None:
         }), flush=True)
 
     elif which == "2":
-        dt = pipeline_time([make_launch(96000, 48000, 2048)])
-        report("config2 stereo 96k->48k 2:1 x1024 streams", 2048, dt, 54.0)
+        body, x0, samples = make_body(96000, 48000, 2048)
+        _report("config2 stereo 96k->48k 2:1 x1024 streams",
+                samples, _kslope(body, x0), 54.0)
 
     elif which == "3":
-        dt = pipeline_time([make_launch(8000, 48000, 1024)])
-        report("config3 mono 8k->48k upsample x1024 streams", 1024, dt, 45.5)
+        body, x0, samples = make_body(8000, 48000, 1024)
+        _report("config3 mono 8k->48k upsample x1024 streams",
+                samples, _kslope(body, x0), 45.5)
 
     elif which == "4":
         # pitch bend: ONE farm whose ratio is adjusted EVERY chunk across the
         # 0.5x..2.0x sweep — the real Adjust duty cycle (increment/config
-        # rebuild + kernel-plan switch per chunk, clownresampler.h:1052-1056).
-        # All states/specs are prepared (and their scalars uploaded) BEFORE
-        # the measured window so the launch stream stays transfer-free.
+        # rebuild + kernel-plan switch, clownresampler.h:1052-1056). One scan
+        # iteration = a full 8-rate sweep cycle, each rate's re-planned
+        # launch chained by feedback.
         from clownresampler_tpu.farm import UniformStreamFarm
         from clownresampler_tpu.ops.pallas_resample import multi_resample
 
@@ -187,41 +209,28 @@ def run_config(which: str) -> None:
         chunk = rng.integers(-32768, 32768, size=(1024, 8192, 2)).astype(np.int16)
         farm._stage(chunk)
 
-        prepared = []  # (specs, n_out) per sweep step — adjust happens here
+        prepared = []  # the adjust work happens here, per sweep step
+        total_samples = 0
         for rate in sweep_rates:
             assert farm.adjust(rate, 44100, 88200)
             n_out = min(farm._natural_count(farm._fill - 2 * farm._radius_bound), 4096)
-            prepared.append((farm._launch_specs(n_out), n_out))
-        x = farm._staging_device()
+            specs = farm._launch_specs(n_out)
+            prepared.append((tuple(st for _, st, _ in specs),
+                             tuple(p for *_, p in specs)))
+            total_samples += sum(p[4] for *_, p in specs) * 2048
 
-        def launch(i):
-            specs, _ = prepared[i % len(prepared)]
-            return multi_resample(
-                farm._table,
-                tuple(x for _ in specs),
-                tuple(st for _, st, _ in specs),
-                tuple(p for *_, p in specs),
-            )
+        x0 = farm._staging_device()
 
-        outs = [launch(i) for i in range(16)]
-        jax.block_until_ready(outs)
-        best, samples = float("inf"), 0
-        for _ in range(3):
-            outs = []
-            t0 = time.perf_counter()
-            for i in range(64):
-                outs.append(launch(i))
-            jax.block_until_ready(outs)
-            dt = time.perf_counter() - t0
-            if dt < best:
-                best = dt
-                samples = sum(int(np.prod(a.shape)) for o in outs for a in o)
-        msps = samples / best / 1e6
-        print(json.dumps({
-            "metric": "config4 per-chunk pitch-bend sweep 0.5x-2.0x, 1024-stream farm (adjust+launch duty cycle)",
-            "value": round(msps, 1), "unit": "Msamples/s",
-            "vs_baseline": round(msps / 74.9, 2),
-        }), flush=True)
+        def body(x):
+            for states, plans in prepared:  # unrolled 8-rate sweep cycle
+                outs = multi_resample(
+                    farm._table, tuple(x for _ in states), states, plans)
+                x = x.at[0, 0].add(outs[0][0, 0] & 1)
+            return x
+
+        dt = _kslope(body, x0, k1=2, k2=6)
+        _report("config4 per-chunk pitch-bend sweep 0.5x-2.0x, 1024-stream farm (adjust duty cycle)",
+                total_samples, dt, 74.9)
 
     elif which == "4b":
         # the same farm end to end: process() incl. H2D upload, staging and
@@ -249,8 +258,7 @@ def run_config(which: str) -> None:
 
     elif which == "5":
         # mixed-ratio farm: 4 ratio groups x 256 stereo streams, every
-        # group's launch fused into ONE device program (multi_resample) —
-        # one dispatch floor instead of four (the round-1 config-5 gap).
+        # group's launch fused into ONE device program (multi_resample)
         from clownresampler_tpu import fixedpoint as fx
         from clownresampler_tpu.configure import configure
         from clownresampler_tpu.lowlevel import make_device_state
@@ -258,9 +266,8 @@ def run_config(which: str) -> None:
             multi_resample,
             plan_uniform,
         )
-        import jax.numpy as jnp
 
-        g_specs = []
+        xs0, states, plans = [], [], []
         for in_rate, out_rate in [(48000, 44100), (44100, 48000),
                                   (8000, 48000), (96000, 48000)]:
             cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
@@ -269,81 +276,53 @@ def run_config(which: str) -> None:
             taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
             s = ((n_out_default * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
             s = -(-s // 16) * 16
-            xs = [jnp.asarray(rng.integers(-32768, 32768, size=(s, 512)).astype(np.int32))
-                  for _ in range(2)]
-            sts = [make_device_state(0, f, cfg, inc) for f in range(8)]
-            g_specs.append((xs, sts,
-                            (plan["kernel"], plan.get("d"), plan.get("cand"),
-                             taps, n_out_default, False)))
+            xs0.append(jnp.asarray(
+                rng.integers(-32768, 32768, size=(s, 512)).astype(np.int32)))
+            states.append(make_device_state(0, 0x4321, cfg, inc))
+            plans.append((plan["kernel"], plan.get("d"), plan.get("cand"),
+                          taps, n_out_default, False))
+        states, plans = tuple(states), tuple(plans)
+        jax.block_until_ready(xs0)
 
-        plans5 = tuple(p for _, _, p in g_specs)
+        def body(xs):
+            outs = multi_resample(table, xs, states, plans)
+            return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
 
-        def combined(i):
-            return multi_resample(
-                table,
-                tuple(g[0][i % 2] for g in g_specs),
-                tuple(g[1][(3 * i + 1) % 8] for g in g_specs),
-                plans5,
-            )
-
-        outs = [combined(i) for i in range(8)]
-        jax.block_until_ready(outs)
-        best = float("inf")
-        for _ in range(3):
-            outs = []
-            t0 = time.perf_counter()
-            for i in range(64):
-                outs.append(combined(i))
-            jax.block_until_ready(outs)
-            best = min(best, (time.perf_counter() - t0) / 64)
-        report("config5 mixed-ratio farm 4x256 stereo streams (one fused program)",
-               4 * 512, best, 74.9)
+        dt = _kslope(body, tuple(xs0))
+        _report("config5 mixed-ratio farm 4x256 stereo streams (one fused program)",
+                4 * n_out_default * 512, dt, 74.9)
 
     elif which == "6":
-        # wide non-integer downsample: the general kernel's input block is
-        # VMEM-resident and rows scale ~5.5x frames, capping n_out at ~2048
-        # per sub-launch; pack 4 consecutive sub-launches (a real stream's
-        # positions, the farm's steady-state shape) into ONE program to
-        # amortise the dispatch floor.
+        # wide non-integer downsample through the general kernel; the
+        # VMEM-resident input caps frames at ~2048 per sub-launch for this
+        # ratio, so one iteration = 4 packed sub-launches (buffered chunks)
         from clownresampler_tpu import fixedpoint as fx
         from clownresampler_tpu.configure import configure
         from clownresampler_tpu.lowlevel import make_device_state
         from clownresampler_tpu.ops.pallas_resample import multi_resample
-        import jax.numpy as jnp
 
         n_sub, sub_frames, lanes = 4, 2048, 2048
         cfg = configure(44100, 8000, 44100)
         inc = fx.calculate_ratio(44100, 8000)
         taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
-        # per-sub-launch staging: rows must stay under the Mosaic VMEM bound
-        # (farm.VMEM_SAFE_INPUT_ROWS), so each packed sub-launch owns its own
-        # chunk buffer — 4 buffered chunks of the same 1024-stream fleet.
         s = ((sub_frames * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
         s = -(-s // 16) * 16
-        xsets = [tuple(jnp.asarray(
-                    rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
-                 for _ in range(n_sub)) for _ in range(2)]
+        xs0 = tuple(jnp.asarray(
+            rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
+            for _ in range(n_sub))
         plans6 = tuple(("general", None, None, taps, sub_frames, False)
                        for _ in range(n_sub))
-        state_sets = [tuple(make_device_state(0, (f0 * 7 + k) % 65536, cfg, inc)
-                            for k in range(n_sub)) for f0 in range(8)]
+        states6 = tuple(make_device_state(0, (7 * k + 3) % 65536, cfg, inc)
+                        for k in range(n_sub))
+        jax.block_until_ready(list(xs0))
 
-        def launch6(i):
-            return multi_resample(table, xsets[i % 2],
-                                  state_sets[(3 * i + 1) % 8], plans6)
+        def body(xs):
+            outs = multi_resample(table, xs, states6, plans6)
+            return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
 
-        outs = [launch6(i) for i in range(8)]
-        jax.block_until_ready(outs)
-        best = float("inf")
-        for _ in range(3):
-            outs = []
-            t0 = time.perf_counter()
-            for i in range(48):
-                outs.append(launch6(i))
-            jax.block_until_ready(outs)
-            best = min(best, (time.perf_counter() - t0) / 48)
-        report("config6 stereo 44.1k->8k x1024 streams (general kernel, 4 packed sub-launches)",
-               lanes, best, 27.0, n_out=n_sub * sub_frames)
+        dt = _kslope(body, xs0)
+        _report("config6 stereo 44.1k->8k x1024 streams (general kernel, 4 packed sub-launches)",
+                n_sub * sub_frames * lanes, dt, 27.0)
 
     else:
         raise SystemExit(f"unknown config {which}")

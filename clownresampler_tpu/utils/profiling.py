@@ -5,7 +5,7 @@ Usage:
     with trace("/tmp/resample-trace"):        # open in xprof/tensorboard
         farm.process(chunk)
 
-    stats = measure_throughput(lambda i: launch(i), samples_per_launch=...)
+    stats = measure_kernel_time(body, x0)     # honest K-slope chain
 """
 
 from __future__ import annotations
@@ -14,6 +14,8 @@ import contextlib
 import time
 from dataclasses import dataclass
 from typing import Callable
+
+import numpy as np
 
 
 @contextlib.contextmanager
@@ -35,28 +37,60 @@ class ThroughputStats:
     launches: int
 
 
-def measure_throughput(
-    launch: Callable[[int], object],
-    samples_per_launch: int,
-    launches: int = 64,
-    warmup: int = 8,
+def measure_kernel_time(
+    body: Callable,
+    carry0,
+    samples_per_iteration: int,
+    k1: int = 4,
+    k2: int = 16,
+    reps: int = 4,
 ) -> ThroughputStats:
-    """Steady-state pipelined throughput of independent launches.
+    """True per-iteration device time of ``body`` via the K-slope chain.
 
-    ``launch(i)`` must return a device value and must vary its inputs with
-    ``i`` (distinct state/buffer per call) so that no layer can cache,
-    deduplicate, or constant-fold the work; all results are blocked on at the
-    end. Serialized (one-at-a-time) timing is the wrong methodology on
-    tunneled devices — it measures dispatch latency (see bench.py).
+    ``body(carry) -> carry`` must thread a DATA DEPENDENCY from each
+    iteration's kernel output into the next iteration's input (e.g.
+    ``x.at[0, 0].add(out[0, 0] & 1)`` — not constant-foldable), so the device
+    must serialize the iterations. The chain is run inside ONE jitted
+    lax.scan at two lengths; the slope (T2 - T1) / (k2 - k1) cancels every
+    fixed per-program cost.
+
+    Why not time independent pipelined launches? On relay-tunneled devices
+    (this environment) block_until_ready returns when the relay ACKS a
+    launch, not when compute finishes — pipelined timing measures the ack
+    stream at a payload-independent rate hundreds of times faster than the
+    hardware (benchmarks/RESULTS.md, round 2). Serialized one-at-a-time
+    timing instead absorbs ~60 ms of per-program relay overhead. The slope
+    excludes both.
     """
     import jax
 
-    jax.block_until_ready([launch(i) for i in range(warmup)])
-    t0 = time.perf_counter()
-    jax.block_until_ready([launch(i) for i in range(launches)])
-    dt = (time.perf_counter() - t0) / launches
+    def make(k):
+        @jax.jit
+        def chain(c):
+            c, _ = jax.lax.scan(lambda cc, _: (body(cc), None), c, None, length=k)
+            return jax.tree_util.tree_leaves(c)[0].ravel()[0]
+
+        return chain
+
+    c1, c2 = make(k1), make(k2)
+    for c in (c1, c2):
+        r = c(carry0)
+        jax.block_until_ready(r)
+        _ = np.asarray(r)  # force real completion, not just the ack
+
+    def best_time(c):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = c(carry0)
+            jax.block_until_ready(r)
+            _ = np.asarray(r)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = (best_time(c2) - best_time(c1)) / (k2 - k1)
     return ThroughputStats(
         seconds_per_launch=dt,
-        samples_per_second=samples_per_launch / dt,
-        launches=launches,
+        samples_per_second=samples_per_iteration / max(dt, 1e-12),
+        launches=k2 - k1,
     )
