@@ -200,6 +200,8 @@ def run_config(which: str) -> None:
         # rebuild + kernel-plan switch, clownresampler.h:1052-1056). One scan
         # iteration = a full 8-rate sweep cycle, each rate's re-planned
         # launch chained by feedback.
+        import jax.numpy as jnp
+
         from clownresampler_tpu.farm import UniformStreamFarm
         from clownresampler_tpu.ops.pallas_resample import multi_resample
 
@@ -214,19 +216,28 @@ def run_config(which: str) -> None:
         for rate in sweep_rates:
             assert farm.adjust(rate, 44100, 88200)
             n_out = min(farm._natural_count(farm._fill - 2 * farm._radius_bound), 4096)
-            specs = farm._launch_specs(n_out)
-            prepared.append((tuple(st for _, st, _ in specs),
-                             tuple(p for *_, p in specs)))
-            total_samples += sum(p[4] for *_, p in specs) * 2048
+            specs, _splits = farm._launch_specs(n_out)
+            prepared.append((
+                tuple(si for _, si, _, _ in specs),
+                tuple(st for _, _, st, _ in specs),
+                tuple(p for *_, p in specs),
+            ))
+            total_samples += sum(
+                p[4] * farm._lane_slices[si][0] for _, si, _, p in specs
+            )
 
-        x0 = farm._staging_device()
+        x0 = tuple(farm._staging) if farm._device_staging else (
+            jnp.asarray(farm._staging),)
 
-        def body(x):
-            for states, plans in prepared:  # unrolled 8-rate sweep cycle
+        def body(xs):
+            for sidx, states_r, plans_r in prepared:  # unrolled 8-rate sweep
                 outs = multi_resample(
-                    farm._table, tuple(x for _ in states), states, plans)
-                x = x.at[0, 0].add(outs[0][0, 0] & 1)
-            return x
+                    farm._table, tuple(xs[si] for si in sidx), states_r, plans_r)
+                new = list(xs)
+                for k, si in enumerate(sidx):
+                    new[si] = new[si].at[0, 0].add(outs[k][0, 0] & 1)
+                xs = tuple(new)
+            return xs
 
         dt = _kslope(body, x0, k1=2, k2=6)
         _report("config4 per-chunk pitch-bend sweep 0.5x-2.0x, 1024-stream farm (adjust duty cycle)",

@@ -104,7 +104,13 @@ def save_farm(farm: UniformStreamFarm) -> dict[str, Any]:
         "increment": farm.increment,
         "config": _config_dict(farm.config),
         "radius_bound": farm._radius_bound,
-        "staging": np.asarray(farm._staging).copy(),
+        # device staging is a tuple of independent lane-slice buffers;
+        # serialise as one full-width array (offsets are recomputed on load)
+        "staging": (
+            np.concatenate([np.asarray(s) for s in farm._staging], axis=1)
+            if isinstance(farm._staging, tuple)
+            else np.asarray(farm._staging).copy()
+        ),
         "fill": farm._fill,
         "device_staging": farm._device_staging,
         "clamp_s16": farm.clamp_s16,
@@ -133,13 +139,19 @@ def load_farm(d: dict[str, Any]) -> UniformStreamFarm:
     farm._max_taps = -(-2 * farm._radius_bound // 8) * 8
     farm._device_staging = d.get("device_staging", False)
     staging = np.array(d["staging"], dtype=np.int32)
-    if farm._device_staging:
-        import jax.numpy as jnp
-
-        farm._staging = jnp.asarray(staging)
-    else:
-        farm._staging = staging
     farm._capacity = staging.shape[0]
     farm._lanes = staging.shape[1]
+    from clownresampler_tpu.farm import compute_lane_slices
+
+    farm._lane_slices = compute_lane_slices(
+        farm._lanes, farm._max_taps, farm._capacity
+    )
+    if farm._device_staging:
+        farm._staging = tuple(
+            jnp.asarray(np.ascontiguousarray(staging[:, off : off + w]))
+            for w, off in farm._lane_slices
+        )
+    else:
+        farm._staging = staging
     farm._fill = d["fill"]
     return farm

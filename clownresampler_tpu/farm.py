@@ -19,6 +19,7 @@ Bit-exactness: each stream's output is identical to running the reference
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -47,6 +48,30 @@ MAX_LAUNCH_OUTPUT_FRAMES = 1 << 14
 # ~17.9k rows fails on v5e (tools/probe_launch_overhead.py). Staging buffers
 # beyond this row count route to the XLA gather oracle instead.
 VMEM_SAFE_INPUT_ROWS = 12288
+
+# Wide fleets split into ~this many lanes per sub-launch (zero-copy column
+# slices of the same staging buffer, fused into one program): several narrow
+# pallas calls overlap their per-grid-step latencies and measure ~1.3-1.7x
+# faster than one wide launch (benchmarks/RESULTS.md, K-slope probes).
+LANE_SPLIT = 512
+
+
+def compute_lane_slices(lanes: int, max_taps: int, capacity: int) -> list:
+    """[(width, offset), ...] of the independent staging sub-buffers for a
+    fleet of ``lanes`` lanes (see LANE_SPLIT; oracle-routed farms — wide
+    kernels or VMEM-unsafe capacities — stay unsplit)."""
+    use_oracle = max_taps > FAST_KERNEL_MAX_TAPS or capacity > VMEM_SAFE_INPUT_ROWS
+    if use_oracle or lanes <= LANE_SPLIT:
+        return [(lanes, 0)]
+    n_splits = -(-lanes // LANE_SPLIT)
+    per = -(-(lanes // LANES) // n_splits) * LANES
+    slices = []
+    off = 0
+    while off < lanes:
+        w = min(per, lanes - off)
+        slices.append((w, off))
+        off += w
+    return slices
 
 
 class UniformStreamFarm:
@@ -108,14 +133,27 @@ class UniformStreamFarm:
         else:
             slack = 96 + window_rows_needed(self._max_taps, 1, 8) + 3 * radius_bound
         self._capacity = radius_bound + chunk_frames + radius_bound + slack
-        # Device-resident staging (default on TPU): the buffer lives in HBM;
+
+        # Lane splits: wide fleets stage into INDEPENDENT <=LANE_SPLIT-wide
+        # buffers. Each sub-fleet's launches then form their own dependency
+        # chain, letting the device overlap kernels across sub-fleets
+        # (measured ~2x vs one monolithic buffer, benchmarks/RESULTS.md);
+        # oracle-routed farms stay unsplit (the gather reads all lanes).
+        self._lane_slices = compute_lane_slices(
+            self._lanes, self._max_taps, self._capacity
+        )
+
+        # Device-resident staging (default on TPU): the buffers live in HBM;
         # each process() uploads only the new chunk and stages/shifts on
         # device — halving host<->device traffic vs re-uploading the buffer.
         if device_staging is None:
             device_staging = jax.default_backend() == "tpu" and not interpret
         self._device_staging = device_staging
         if device_staging:
-            self._staging = jnp.zeros((self._capacity, self._lanes), jnp.int32)
+            self._staging = tuple(
+                jnp.zeros((self._capacity, w), jnp.int32)
+                for w, _ in self._lane_slices
+            )
         else:
             self._staging = np.zeros((self._capacity, self._lanes), np.int32)
         self._fill = radius_bound      # rows of valid data (left zero halo)
@@ -139,45 +177,61 @@ class UniformStreamFarm:
         return True
 
     # ------------------------------------------------------------------
-    # Device-side staging ops (jitted; fill/shift are dynamic scalars).
+    # Device-side staging ops (jitted; fill/shift are dynamic scalars;
+    # stagings is the per-lane-slice buffer tuple, updated in ONE program).
     @staticmethod
-    @jax.jit
-    def _dev_stage(staging, chunk, fill):
+    @partial(jax.jit, static_argnames=("total_lanes",))
+    def _dev_stage(stagings, chunk, fill, total_lanes):
         b, n, c = chunk.shape
         rows = chunk.astype(jnp.int32).transpose(1, 0, 2).reshape(n, b * c)
-        rows = jnp.pad(rows, ((0, 0), (0, staging.shape[1] - b * c)))
-        return jax.lax.dynamic_update_slice(staging, rows, (fill, 0))
+        rows = jnp.pad(rows, ((0, 0), (0, total_lanes - b * c)))
+        outs, off = [], 0
+        for st in stagings:
+            w = st.shape[1]
+            outs.append(jax.lax.dynamic_update_slice(
+                st, rows[:, off : off + w], (fill, 0)))
+            off += w
+        return tuple(outs)
 
     @staticmethod
     @jax.jit
-    def _dev_shift(staging, shift, keep):
-        rolled = jnp.roll(staging, -shift, axis=0)
-        row = jnp.arange(staging.shape[0], dtype=jnp.int32)[:, None]
-        return jnp.where(row < keep, rolled, 0)
+    def _dev_shift(stagings, shift, keep):
+        outs = []
+        for st in stagings:
+            rolled = jnp.roll(st, -shift, axis=0)
+            row = jnp.arange(st.shape[0], dtype=jnp.int32)[:, None]
+            outs.append(jnp.where(row < keep, rolled, 0))
+        return tuple(outs)
 
     @staticmethod
     @jax.jit
-    def _dev_zero_rows(staging, fill, n):
-        row = jnp.arange(staging.shape[0], dtype=jnp.int32)[:, None]
-        mask = (row >= fill) & (row < fill + n)
-        return jnp.where(mask, 0, staging)
+    def _dev_zero_rows(stagings, fill, n):
+        outs = []
+        for st in stagings:
+            row = jnp.arange(st.shape[0], dtype=jnp.int32)[:, None]
+            mask = (row >= fill) & (row < fill + n)
+            outs.append(jnp.where(mask, 0, st))
+        return tuple(outs)
 
     # ------------------------------------------------------------------
     def _natural_count(self, total_frames: int) -> int:
         num = ((total_frames - self.position_integer) << 16) - self.position_fractional
         return 0 if num <= 0 else -(-num // self.increment)
 
-    def _launch_specs(self, n_out: int) -> list:
-        """Sub-launch descriptors [(tile, state, plan_tuple), ...] producing
-        frames [0, n_out) from the staging buffer.
+    def _launch_specs(self, n_out: int) -> tuple[list, int]:
+        """(specs, lane_splits): sub-launch descriptors producing frames
+        [0, n_out) from the staging buffer, as [(tile, state, plan_tuple)...]
+        ordered frame-tile-major with ``lane_splits`` consecutive lane-slice
+        specs per frame tile.
 
-        Tiled into <= 2^14-frame sub-launches: device positions come from
-        fx.positions_from_state, which is int32-exact only for n < 2^15
+        Frame-tiled into <= 2^14-frame sub-launches: device positions come
+        from fx.positions_from_state, which is int32-exact only for n < 2^15
         (f0 + n*inc_lo must stay below 2^31); p0/f0 advance host-side in
         exact Python ints between tiles, like LowLevelResampler._compute_frames.
-        Plan tuples are the static halves of ops.pallas_resample.multi_resample
-        launches, so a MixedStreamFarm can fuse every group's sub-launches into
-        ONE device program (one ~30 us dispatch floor instead of G).
+        Lane-split into <= ~LANE_SPLIT-wide zero-copy column slices (see
+        LANE_SPLIT). Plan tuples are the static halves of
+        ops.pallas_resample.multi_resample launches, so a MixedStreamFarm can
+        fuse every group's sub-launches into ONE device program.
         """
         kind = None
         if self._max_taps > FAST_KERNEL_MAX_TAPS:
@@ -209,32 +263,50 @@ class UniformStreamFarm:
             p0 = self.position_integer + (t >> 16) + halo_shift
             f0 = t & 0xFFFF
             state = make_device_state(p0, f0, self.config, self.increment)
-            specs.append(
-                (tile, state, (kind, d, cand, self._max_taps, n_pad, self.clamp_s16))
-            )
+            for split_idx in range(len(self._lane_slices)):
+                specs.append((
+                    tile, split_idx, state,
+                    (kind, d, cand, self._max_taps, n_pad, self.clamp_s16),
+                ))
             done += tile
-        return specs
+        return specs, len(self._lane_slices)
 
-    def _staging_device(self):
-        return self._staging if self._device_staging else jnp.asarray(self._staging)
+    def _spec_inputs(self, specs: list) -> tuple:
+        """The per-spec input buffer tuple (device path: the independent
+        per-slice buffers; host path: uploaded column slices)."""
+        if self._device_staging:
+            return tuple(self._staging[si] for _, si, _, _ in specs)
+        slices = [
+            jnp.asarray(np.ascontiguousarray(self._staging[:, off : off + w]))
+            for w, off in self._lane_slices
+        ]
+        return tuple(slices[si] for _, si, _, _ in specs)
 
-    def _collect_parts(self, specs: list, outs: list) -> np.ndarray:
-        parts = [np.asarray(out)[:tile] for (tile, _, _), out in zip(specs, outs)]
+    def _collect_parts(self, specs: list, outs: list, lane_splits: int) -> np.ndarray:
+        parts = []
+        for t in range(0, len(specs), lane_splits):
+            tile = specs[t][0]
+            if lane_splits == 1:
+                part = np.asarray(outs[t])
+            else:
+                part = np.concatenate(
+                    [np.asarray(o) for o in outs[t : t + lane_splits]], axis=1
+                )
+            parts.append(part[:tile])
         return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
 
     def _launch(self, n_out: int) -> np.ndarray:
-        """Run the best kernel(s) for the current plan over the staging buffer
-        as one device program."""
-        specs = self._launch_specs(n_out)
-        x = self._staging_device()
+        """Run the best kernel(s) for the current plan over the staging
+        buffers as one device program."""
+        specs, lane_splits = self._launch_specs(n_out)
         outs = multi_resample(
             self._table,
-            tuple(x for _ in specs),
-            tuple(state for _, state, _ in specs),
+            self._spec_inputs(specs),
+            tuple(state for _, _, state, _ in specs),
             tuple(plan for *_, plan in specs),
             interpret=self.interpret,
         )
-        return self._collect_parts(specs, outs)
+        return self._collect_parts(specs, outs, lane_splits)
 
     def _emit(self, total_frames: int) -> np.ndarray:
         """Produce every frame available against `total_frames` of data, then
@@ -293,7 +365,8 @@ class UniformStreamFarm:
             raise ValueError("staging overflow: feed chunks of at most chunk_frames")
         if self._device_staging:
             self._staging = self._dev_stage(
-                self._staging, jnp.asarray(chunk), jnp.int32(self._fill)
+                self._staging, jnp.asarray(chunk), jnp.int32(self._fill),
+                total_lanes=self._lanes,
             )
         else:
             native.stage_chunk(chunk, self._staging, self._fill)
@@ -375,20 +448,19 @@ class MixedStreamFarm:
         per-group.
         """
         # Stage every group's chunk, collect each group's sub-launch specs.
-        pending = []  # (farm, members, total, n_out, specs)
+        pending = []  # (farm, members, total, n_out, specs, lane_splits)
         for farm, members in self._groups.values():
             batch = np.stack([np.asarray(chunks[i], np.int16) for i in members])
             total = farm._stage(batch)
             n_out = farm._natural_count(total) if total > 0 else 0
-            specs = farm._launch_specs(n_out) if n_out > 0 else []
-            pending.append((farm, members, total, n_out, specs))
+            specs, lane_splits = farm._launch_specs(n_out) if n_out > 0 else ([], 1)
+            pending.append((farm, members, total, n_out, specs, lane_splits))
 
         # One combined launch across every group's specs.
         xs, states, plans = [], [], []
-        for farm, _, _, _, specs in pending:
-            x = farm._staging_device()
-            for _, state, plan in specs:
-                xs.append(x)
+        for farm, _, _, _, specs, _ in pending:
+            xs.extend(farm._spec_inputs(specs))
+            for _, _si, state, plan in specs:
                 states.append(state)
                 plans.append(plan)
         if xs:
@@ -406,9 +478,11 @@ class MixedStreamFarm:
         # Distribute results and run each group's bookkeeping.
         outputs: list = [None] * self.n_streams
         cursor = 0
-        for farm, members, total, n_out, specs in pending:
+        for farm, members, total, n_out, specs, lane_splits in pending:
             if n_out > 0:
-                lanes_out = farm._collect_parts(specs, outs[cursor : cursor + len(specs)])
+                lanes_out = farm._collect_parts(
+                    specs, outs[cursor : cursor + len(specs)], lane_splits
+                )
                 cursor += len(specs)
             else:
                 lanes_out = None

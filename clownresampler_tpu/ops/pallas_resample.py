@@ -35,6 +35,7 @@ All paths are bit-exact vs ops.convolve (tests/test_pallas.py).
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -180,7 +181,8 @@ def _kernel_tiled(
 @partial(
     jax.jit,
     static_argnames=(
-        "max_taps", "n_out", "d", "cand", "group", "clamp_s16", "interpret"
+        "max_taps", "n_out", "d", "cand", "group", "clamp_s16", "interpret",
+        "lanes", "lane_offset",
     ),
 )
 def resample_uniform_lanes_tiled(
@@ -195,16 +197,26 @@ def resample_uniform_lanes_tiled(
     group: int = 8,      # static frame-tiles per grid step
     clamp_s16: bool = False,  # fuse the s16 output clamp (serving path)
     interpret: bool = False,
+    lanes: Optional[int] = None,   # static sub-launch width (default: all of x)
+    lane_offset: int = 0,          # static first lane column (multiple of 128)
 ):
     """Fast-path uniform-ratio resample; requires increment < 2^17.
 
     The caller must pad x so that every tile's aligned window fits:
     S >= ((max_row & ~7) + window_rows_needed(max_taps, d, cand)).
-    Returns (out (n_out, L) int32, rows (n_out,)).
+    ``lanes``/``lane_offset`` run the launch over a column slice of x with no
+    copy (the lane-tile grid starts at lane_offset; measured: several narrow
+    sub-launches inside one program outperform one wide launch ~1.3-1.7x
+    because per-grid-step latency overlaps across pallas calls).
+    Returns (out (n_out, lanes or L) int32, rows (n_out,)).
     """
     assert d in (0, 1)
     s, l = x.shape
-    assert l % LANES == 0 and n_out % (FRAMES_PER_TILE * group) == 0
+    lanes = l if lanes is None else lanes
+    assert lanes % LANES == 0 and lane_offset % LANES == 0
+    assert lane_offset + lanes <= l
+    assert n_out % (FRAMES_PER_TILE * group) == 0
+    tile0 = lane_offset // LANES
     w_load = window_rows_needed(max_taps, d, cand)
     rows, kvals, q, eps, tile_rows = precompute_launch(
         table, state, max_taps=max_taps, n_out=n_out
@@ -220,11 +232,11 @@ def resample_uniform_lanes_tiled(
     n_steps = n_out // step_frames
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(l // LANES, n_steps),
+        grid=(lanes // LANES, n_steps),
         in_specs=[
             pl.BlockSpec((step_frames, LANES), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((step_frames, max_taps), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i + tile0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (step_frames, LANES), lambda i, j, *_: (j, i), memory_space=pltpu.VMEM
@@ -237,7 +249,7 @@ def resample_uniform_lanes_tiled(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_out, l), jnp.int16 if clamp_s16 else jnp.int32
+            (n_out, lanes), jnp.int16 if clamp_s16 else jnp.int32
         ),
         interpret=interpret,
     )(tile_rows, meta, kv, x)
@@ -293,7 +305,8 @@ def _kernel_general(
 
 @partial(
     jax.jit,
-    static_argnames=("max_taps", "n_out", "group", "clamp_s16", "interpret"),
+    static_argnames=("max_taps", "n_out", "group", "clamp_s16", "interpret",
+                     "lanes", "lane_offset"),
 )
 def resample_uniform_lanes_general(
     table,
@@ -306,11 +319,17 @@ def resample_uniform_lanes_general(
                          # block has a 128-lane tile (Mosaic blocking rule)
     clamp_s16: bool = False,
     interpret: bool = False,
+    lanes: Optional[int] = None,   # static sub-launch width (default: all of x)
+    lane_offset: int = 0,          # static first lane column (multiple of 128)
 ):
     """Any-ratio uniform-lane resample (used for increment >= 2^17, lo != 0)."""
     assert group == 16, "kv block needs a 128-frame grid step"
     s, l = x.shape
-    assert l % LANES == 0 and n_out % (FRAMES_PER_TILE * group) == 0
+    lanes = l if lanes is None else lanes
+    assert lanes % LANES == 0 and lane_offset % LANES == 0
+    assert lane_offset + lanes <= l
+    assert n_out % (FRAMES_PER_TILE * group) == 0
+    tile0 = lane_offset // LANES
     w_load = 16
     while w_load < max_taps + 8:
         w_load *= 2
@@ -326,11 +345,11 @@ def resample_uniform_lanes_general(
     step_frames = FRAMES_PER_TILE * group
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(l // LANES, n_out // step_frames),
+        grid=(lanes // LANES, n_out // step_frames),
         in_specs=[
             pl.BlockSpec((step_frames, LANES), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((max_taps, step_frames), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i + tile0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (step_frames, LANES), lambda i, j, *_: (j, i), memory_space=pltpu.VMEM
@@ -343,7 +362,7 @@ def resample_uniform_lanes_general(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_out, l), jnp.int16 if clamp_s16 else jnp.int32
+            (n_out, lanes), jnp.int16 if clamp_s16 else jnp.int32
         ),
         interpret=interpret,
     )(rows_launch, meta, kv, x)
@@ -354,7 +373,8 @@ def resample_uniform_lanes_general(
 # XLA strided path for exact integer strides (increment fractional part == 0)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_taps", "n_out", "d", "clamp_s16"))
+@partial(jax.jit, static_argnames=("max_taps", "n_out", "d", "clamp_s16",
+                                   "lanes", "lane_offset"))
 def resample_integer_stride(
     table,
     x,                   # (S, L) int32, padded so row rows[0] + (n_out-1)*d + T fits
@@ -364,6 +384,8 @@ def resample_integer_stride(
     n_out: int,
     d: int,              # static integer stride = increment >> 16, >= 1
     clamp_s16: bool = False,
+    lanes: Optional[int] = None,   # static sub-launch width (default: all of x)
+    lane_offset: int = 0,
 ):
     """Exact-integer-stride resample (e.g. 2:1 96k->48k, BASELINE config 2).
 
@@ -372,6 +394,8 @@ def resample_integer_stride(
     exactly rows[0] + n*d: each tap contributes a *static strided slice* of
     the input — plain vectorised XLA, no gather, no Pallas needed.
     """
+    if lanes is not None and (lane_offset != 0 or lanes != x.shape[1]):
+        x = jax.lax.slice_in_dim(x, lane_offset, lane_offset + lanes, axis=1)
     s, l = x.shape
     span = (n_out - 1) * d + max_taps
     if span + 8 > s:
@@ -410,9 +434,14 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
     """Run several independent uniform-ratio launches as ONE device program.
 
     ``plans[i]`` is a hashable static tuple
-    (kind, d, cand, max_taps, n_out, clamp_s16) with kind in
-    {"tiled", "strided", "general", "oracle"}; xs[i]/states[i] are that
-    launch's input block and phase state. Returns a tuple of outputs.
+    (kind, d, cand, max_taps, n_out, clamp_s16[, lanes, lane_offset]) with
+    kind in {"tiled", "strided", "general", "oracle"}; xs[i]/states[i] are
+    that launch's input block and phase state. The optional
+    (lanes, lane_offset) pair runs the launch over a column slice of xs[i]
+    with no copy — splitting a wide fleet into several ~512-lane sub-launches
+    of the SAME buffer inside one program measures ~1.3-1.7x faster than one
+    wide launch (per-grid-step latency overlaps across the pallas calls).
+    Returns a tuple of outputs.
 
     Why this exists: dispatching a compiled program costs a flat ~25-35 us in
     this environment regardless of content (measured: a 128-lane launch and a
@@ -428,22 +457,27 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
 
     outs = []
     for x, st, p in zip(xs, states, plans):
-        kind, d, cand, max_taps, n_out, clamp = p
+        kind, d, cand, max_taps, n_out, clamp = p[:6]
+        lanes, lane_offset = (p[6], p[7]) if len(p) > 6 else (None, 0)
         if kind == "tiled":
             out, _ = resample_uniform_lanes_tiled(
                 table, x, st, max_taps=max_taps, n_out=n_out, d=d, cand=cand,
                 clamp_s16=clamp, interpret=interpret,
+                lanes=lanes, lane_offset=lane_offset,
             )
         elif kind == "strided":
             out, _ = resample_integer_stride(
                 table, x, st, max_taps=max_taps, n_out=n_out, d=d, clamp_s16=clamp,
+                lanes=lanes, lane_offset=lane_offset,
             )
         elif kind == "general":
             out, _ = resample_uniform_lanes_general(
                 table, x, st, max_taps=max_taps, n_out=n_out, clamp_s16=clamp,
-                interpret=interpret,
+                interpret=interpret, lanes=lanes, lane_offset=lane_offset,
             )
         else:  # "oracle": wide-kernel gather fallback (lowlevel.FAST_KERNEL_MAX_TAPS)
+            if lanes is not None and (lane_offset != 0 or lanes != x.shape[1]):
+                x = jax.lax.slice_in_dim(x, lane_offset, lane_offset + lanes, axis=1)
             n = jnp.arange(n_out, dtype=jnp.int32)
             pos, frac = fx.positions_from_state(
                 st.position_integer, st.position_fractional,

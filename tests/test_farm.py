@@ -177,6 +177,25 @@ def test_farm_launch_tiling_matches_host(monkeypatch):
                                           err_msg=f"{in_rate}->{out_rate} s{i}")
 
 
+def test_farm_lane_split_matches_host(monkeypatch):
+    """Wide fleets split into lane-sliced sub-launches (zero-copy column
+    slices in one fused program); output must be identical to unsplit."""
+    from clownresampler_tpu import farm as farm_mod
+
+    monkeypatch.setattr(farm_mod, "LANE_SPLIT", 128)
+    rng = np.random.default_rng(23)
+    b, ch, total = 96, 2, 300                 # 192 lanes -> 2 splits of 128
+    data = rng.integers(-32768, 32768, size=(b, total, ch)).astype(np.int16)
+    farm = UniformStreamFarm(b, ch, 48000, 44100, chunk_frames=256, interpret=True)
+    got = np.concatenate(
+        [farm.process(data[:, :256]), farm.process(data[:, 256:]), farm.flush()],
+        axis=1,
+    )
+    for i in (0, 63, 95):
+        want = _host_reference(data[i], ch, 48000, 44100, 48000)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"stream {i}")
+
+
 def test_farm_large_chunk_int32_safe():
     """Advisor regression: one huge process() must not wrap int32 positions.
 

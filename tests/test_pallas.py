@@ -177,3 +177,62 @@ def test_tiled_kernel_clamped_output():
     assert clamped.dtype == jnp.int16
     want = np.clip(np.asarray(wide), -0x7FFF, 0x7FFF).astype(np.int16)
     np.testing.assert_array_equal(np.asarray(clamped), want)
+
+
+def test_lane_sliced_launches_match_full_width():
+    """lanes/lane_offset sub-launches == column slices of the full launch
+    (zero-copy lane splitting used by the farm and the benches)."""
+    table = jnp.asarray(lanczos_kernel_table())
+    rng = np.random.default_rng(3)
+    n_out = 128
+    for in_rate, out_rate in [(48000, 44100), (44100, 8000)]:
+        cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+        inc = fx.calculate_ratio(in_rate, out_rate)
+        state = make_device_state(0, 0x4321, cfg, inc)
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
+        s = -(-s // 16) * 16
+        x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 384)).astype(np.int32))
+        plan = plan_uniform(inc, n_out)
+        if plan["kernel"] == "tiled":
+            fn = lambda **kw: resample_uniform_lanes_tiled(
+                table, x, state, max_taps=max_taps, n_out=n_out,
+                d=plan["d"], cand=plan["cand"], interpret=True, **kw)[0]
+        else:
+            fn = lambda **kw: resample_uniform_lanes_general(
+                table, x, state, max_taps=max_taps, n_out=n_out,
+                interpret=True, **kw)[0]
+        full = np.asarray(fn())
+        for off, w in [(0, 128), (128, 256), (256, 128)]:
+            part = np.asarray(fn(lanes=w, lane_offset=off))
+            np.testing.assert_array_equal(
+                part, full[:, off : off + w],
+                err_msg=f"{in_rate}->{out_rate} off={off} w={w}")
+
+
+def test_multi_resample_lane_split_specs():
+    """8-tuple multi_resample plans (lane slices of one buffer) == the
+    6-tuple full-width plan, reassembled."""
+    from clownresampler_tpu.ops.pallas_resample import multi_resample
+
+    table = jnp.asarray(lanczos_kernel_table())
+    rng = np.random.default_rng(5)
+    n_out = 128
+    cfg = configure(48000, 44100, 44100)
+    inc = fx.calculate_ratio(48000, 44100)
+    state = make_device_state(0, 77, cfg, inc)
+    plan = plan_uniform(inc, n_out)
+    s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
+    s = -(-s // 16) * 16
+    x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 256)).astype(np.int32))
+
+    (full,) = multi_resample(
+        table, (x,), (state,),
+        (("tiled", plan["d"], plan["cand"], 8, n_out, False),), interpret=True)
+    parts = multi_resample(
+        table, (x, x), (state, state),
+        (("tiled", plan["d"], plan["cand"], 8, n_out, False, 128, 0),
+         ("tiled", plan["d"], plan["cand"], 8, n_out, False, 128, 128)),
+        interpret=True)
+    got = np.concatenate([np.asarray(p) for p in parts], axis=1)
+    np.testing.assert_array_equal(got, np.asarray(full))
