@@ -94,10 +94,14 @@ def _bench_common():
     from clownresampler_tpu.lowlevel import make_device_state
     from clownresampler_tpu.models import lanczos_kernel_table
     from clownresampler_tpu.ops.pallas_resample import (
+        choose_strided_plan,
         plan_uniform,
         resample_integer_stride,
+        resample_strided_phases,
+        resample_strided_phases_wide,
         resample_uniform_lanes_general,
         resample_uniform_lanes_tiled,
+        strided_phase_padding,
     )
 
     table = jnp.asarray(lanczos_kernel_table())
@@ -113,6 +117,8 @@ def _bench_common():
         plan = plan_uniform(inc, n_out)
         max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
         s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
+        if plan["kernel"] == "strided":
+            s += strided_phase_padding(max_taps, plan["d"], 32)
         s = -(-s // 16) * 16
         x0 = jnp.asarray(
             rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32)
@@ -125,8 +131,18 @@ def _bench_common():
                 table, x, state, max_taps=max_taps, n_out=n_out,
                 d=plan["d"], cand=plan["cand"])[0]
         elif plan["kernel"] == "strided":
-            fn = lambda x: resample_integer_stride(
-                table, x, state, max_taps=max_taps, n_out=n_out, d=plan["d"])[0]
+            choice = choose_strided_plan(s, plan["d"], n_out)
+            if choice is None:
+                fn = lambda x: resample_integer_stride(
+                    table, x, state, max_taps=max_taps, n_out=n_out,
+                    d=plan["d"])[0]
+            else:
+                variant, grp = choice
+                sfn = (resample_strided_phases if variant == "fused"
+                       else resample_strided_phases_wide)
+                fn = lambda x: sfn(
+                    table, x, state, max_taps=max_taps, n_out=n_out,
+                    d=plan["d"], group=grp)[0]
         else:
             fn = lambda x: resample_uniform_lanes_general(
                 table, x, state, max_taps=max_taps, n_out=n_out)[0]
@@ -185,9 +201,43 @@ def run_config(which: str) -> None:
         }), flush=True)
 
     elif which == "2":
-        body, x0, samples = make_body(96000, 48000, 2048)
-        _report("config2 stereo 96k->48k 2:1 x1024 streams",
-                samples, _kslope(body, x0), 54.0)
+        # polyphase strided Pallas kernel (fused variant), split-chain fleet:
+        # 4 independent 512-lane sub-buffers as in the headline bench / the
+        # farm's LANE_SPLIT staging (independent chains overlap on device).
+        from clownresampler_tpu import fixedpoint as fx
+        from clownresampler_tpu.configure import configure
+        from clownresampler_tpu.lowlevel import make_device_state
+        from clownresampler_tpu.ops.pallas_resample import (
+            choose_strided_plan,
+            multi_resample,
+            strided_phase_padding,
+        )
+
+        cfg = configure(96000, 48000, 96000)
+        inc = fx.calculate_ratio(96000, 48000)
+        d = inc >> 16
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        n_out = 4096            # keeps the input inside the fused VMEM budget
+        s = (n_out - 8 * 32) * d + strided_phase_padding(max_taps, d, 32) + 64
+        s = -(-s // 16) * 16
+        assert choose_strided_plan(s, d, n_out) == ("fused", 32), (s, d)
+        n_sub, split = 4, 512
+        xs0 = tuple(
+            jnp.asarray(rng.integers(-32768, 32768, size=(s, split)).astype(np.int32))
+            for _ in range(n_sub)
+        )
+        state = make_device_state(0, 0x4321, cfg, inc)
+        jax.block_until_ready(xs0)
+        plans = tuple(("strided", d, None, max_taps, n_out, False)
+                      for _ in range(n_sub))
+        states = tuple(state for _ in range(n_sub))
+
+        def body(xs):
+            outs = multi_resample(table, xs, states, plans)
+            return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
+
+        _report("config2 stereo 96k->48k 2:1 x1024 streams (polyphase Pallas, 4 split chains)",
+                n_out * n_sub * split, _kslope(body, xs0), 54.0)
 
     elif which == "3":
         body, x0, samples = make_body(8000, 48000, 1024)

@@ -34,6 +34,7 @@ from clownresampler_tpu.ops.pallas_resample import (
     LANES,
     multi_resample,
     plan_uniform,
+    strided_phase_padding,
     window_rows_needed,
 )
 from clownresampler_tpu.utils import native
@@ -132,6 +133,16 @@ class UniformStreamFarm:
             slack = 16
         else:
             slack = 96 + window_rows_needed(self._max_taps, 1, 8) + 3 * radius_bound
+            # Polyphase strided launches (integer-stride ratios, possibly via
+            # adjust) over-read d*(w_load + 8) rows past the last frame's
+            # window plus up to 255 grain-padding frames x d rows; reserve
+            # for every stride this farm's radius bound can reach
+            # (d <= kernel_scale <= radius_bound / model.radius).
+            for dd in range(2, max(1, radius_bound // model.radius) + 2):
+                slack = max(
+                    slack,
+                    96 + 256 * dd + strided_phase_padding(self._max_taps, dd, 32),
+                )
         self._capacity = radius_bound + chunk_frames + radius_bound + slack
 
         # Lane splits: wide fleets stage into INDEPENDENT <=LANE_SPLIT-wide
@@ -246,8 +257,9 @@ class UniformStreamFarm:
                 kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
             step = MAX_LAUNCH_OUTPUT_FRAMES
         # Padding granularity per kernel: tiled needs 8*group=64, the general
-        # kernel needs 128, strided/oracle only 8.
-        grain = {"tiled": 64, "strided": 8, "general": 128, "oracle": 8}[kind]
+        # kernel needs 128, the polyphase strided kernels 8*group=256 (the
+        # fastest measured group), the oracle only 8.
+        grain = {"tiled": 64, "strided": 256, "general": 128, "oracle": 8}[kind]
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
         # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
         # before the data, so shift launch positions by the difference when

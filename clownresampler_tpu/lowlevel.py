@@ -246,10 +246,14 @@ def resample_scan_fused(
     backlog bool); ``backlog`` as in resample_scan.
     """
     from clownresampler_tpu.ops.pallas_resample import (
+        choose_strided_plan,
         plan_uniform,
         resample_integer_stride,
+        resample_strided_phases,
+        resample_strided_phases_wide,
         resample_uniform_lanes_general,
         resample_uniform_lanes_tiled,
+        strided_phase_padding,
         window_rows_needed,
     )
 
@@ -267,17 +271,33 @@ def resample_scan_fused(
             )
             return out
     elif plan["kernel"] == "strided":
-        assert n_out % 8 == 0, "strided engine: n_out must be a multiple of 8"
-        # The strided path slices span rows from the first frame's window row
-        # (<= position carry bound d+1, biased +2*radius); keep the buffer big
-        # enough for the full padded launch.
-        span = (n_out - 1) * plan["d"] + max_taps
-        slack = max(32, span + plan["d"] + 16 - n_in)
+        assert n_out % 64 == 0, "strided engine: n_out must be a multiple of 64"
+        d_ = plan["d"]
+        grp = 32 if n_out % 256 == 0 else 8
+        # Buffer must satisfy both the XLA path's span contract and the
+        # polyphase kernels' over-read contract (first frame's window row is
+        # bounded by the position carry d+1, biased +2*radius).
+        span_xla = (n_out - 1) * d_ + max_taps + d_ + 16
+        span_phases = (
+            (n_out - 8 * grp) * d_ + strided_phase_padding(max_taps, d_, grp)
+            + d_ + 16
+        )
+        slack = max(32, span_xla - n_in, span_phases - n_in)
+        choice = choose_strided_plan(2 * radius + n_in + slack, d_, n_out)
 
         def engine(buffer, st):
-            out, _ = resample_integer_stride(
-                table, buffer, st, max_taps=max_taps, n_out=n_out, d=plan["d"],
-            )
+            if choice is None:
+                out, _ = resample_integer_stride(
+                    table, buffer, st, max_taps=max_taps, n_out=n_out, d=d_,
+                )
+            else:
+                variant, grp2 = choice
+                fn = (resample_strided_phases if variant == "fused"
+                      else resample_strided_phases_wide)
+                out, _ = fn(
+                    table, buffer, st, max_taps=max_taps, n_out=n_out, d=d_,
+                    group=grp2, interpret=interpret,
+                )
             return out
     else:
         assert n_out % 128 == 0, "general engine: n_out must be a multiple of 128"
@@ -471,10 +491,14 @@ class LowLevelResampler:
         import jax as _jax
 
         from clownresampler_tpu.ops.pallas_resample import (
+            choose_strided_plan,
             plan_uniform,
             resample_integer_stride,
+            resample_strided_phases,
+            resample_strided_phases_wide,
             resample_uniform_lanes_general,
             resample_uniform_lanes_tiled,
+            strided_phase_padding,
             window_rows_needed,
         )
 
@@ -490,6 +514,10 @@ class LowLevelResampler:
             # whole stream; slack covers aligned loads past the last window.
             d = self.increment >> 16
             slack = window_rows_needed(self._max_taps, min(d, 1), 8) + 8 * d + 32
+            if plan["kernel"] == "strided":
+                # Polyphase strided kernels over-read d*(w_load+8) rows past
+                # the last frame's window (strided_phase_padding contract).
+                slack = max(slack, strided_phase_padding(self._max_taps, d, 32) + 8)
             lanes_pad = fx.round_up(self.channels, 128)
             rows_budget = 16384
             rows_per_tile = rows_budget - 2 * (self._max_taps // 2) - slack
@@ -504,7 +532,7 @@ class LowLevelResampler:
             f0 = t & 0xFFFF
             if use_fast:
                 tile = min(tile, max_tile_frames)
-                grain = {"tiled": 64, "strided": 8, "general": 128}[plan["kernel"]]
+                grain = {"tiled": 64, "strided": 256, "general": 128}[plan["kernel"]]
                 n_pad = fx.round_up(tile, grain)
                 # Row window [p0, p0 + rows), zero-padded past the stream end;
                 # positions rebased to the window start. Rows are bucketed to
@@ -531,10 +559,20 @@ class LowLevelResampler:
                         d=plan["d"], cand=plan["cand"],
                     )
                 elif plan["kernel"] == "strided":
-                    out, _ = resample_integer_stride(
-                        table, x, state, max_taps=self._max_taps, n_out=n_pad,
-                        d=plan["d"],
-                    )
+                    choice = choose_strided_plan(rows, plan["d"], n_pad)
+                    if choice is None:
+                        out, _ = resample_integer_stride(
+                            table, x, state, max_taps=self._max_taps,
+                            n_out=n_pad, d=plan["d"],
+                        )
+                    else:
+                        variant, grp = choice
+                        fn = (resample_strided_phases if variant == "fused"
+                              else resample_strided_phases_wide)
+                        out, _ = fn(
+                            table, x, state, max_taps=self._max_taps,
+                            n_out=n_pad, d=plan["d"], group=grp,
+                        )
                 else:
                     out, _ = resample_uniform_lanes_general(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,

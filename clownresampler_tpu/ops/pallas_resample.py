@@ -25,8 +25,11 @@ is a *static* slice — all VPU-friendly aligned vector ops, no gathers.
 Kernel coverage (plan_uniform):
   tiled   — d = increment>>16 in {0,1}: every upsample and all sub-2x
             downsamples (the headline 48k->44.1k included); fastest path.
-  strided — exact integer strides (fraction == 0, e.g. 2:1 96k->48k): an XLA
-            static-strided-slice formulation, no gather needed.
+  strided — exact integer strides (fraction == 0, e.g. 2:1 96k->48k): a
+            polyphase Pallas kernel over the free (S, L) -> (S/d, d*L) view
+            where every window access is stride 1 (resample_strided_phases;
+            _wide variant for VMEM-exceeding buffers; XLA fallback
+            resample_integer_stride for shapes neither fits).
   general — everything else (wide non-integer downsampling, e.g. 44.1k->8k):
             per-frame aligned load + roll with taps on the sublane axis.
 All paths are bit-exact vs ops.convolve (tests/test_pallas.py).
@@ -370,6 +373,354 @@ def resample_uniform_lanes_general(
 
 
 # ---------------------------------------------------------------------------
+# Polyphase Pallas kernel for exact integer strides (increment_lo == 0)
+# ---------------------------------------------------------------------------
+
+# VMEM budgets for the polyphase strided kernels (v5e scoped vmem is 16M;
+# measured: 2 x 8736-row phase blocks = 17.31M OOMs, so cap the double-buffered
+# input footprint at the same 12288 rows the tiled kernel uses).
+STRIDED_FUSED_MAX_ROWS = 12288   # total input rows (all d phase blocks resident)
+STRIDED_WIDE_MAX_ROWS = 12288    # rows per phase block (S // d)
+
+
+def strided_phase_taps(max_taps: int, d: int) -> int:
+    """Tap-pairs per phase row: 1 + ceil((T-1)/d) covers any s0 in [0, d)."""
+    return 1 + -(-(max_taps - 1) // d)
+
+
+def choose_strided_plan(s: int, d: int, n_out: int):
+    """Pick the polyphase strided variant for an (input rows, stride, frames)
+    launch: ("fused"|"wide", group) or None when only the XLA path fits
+    (undersized n_out grain or a VMEM-exceeding buffer)."""
+    if n_out % 256 == 0:
+        group = 32
+    elif n_out % 64 == 0:
+        group = 8
+    else:
+        return None
+    if s <= STRIDED_FUSED_MAX_ROWS:
+        return ("fused", group)
+    if s // d <= STRIDED_WIDE_MAX_ROWS:
+        return ("wide", group)
+    return None
+
+
+def _strided_w_load(max_taps: int, d: int, group: int = 8) -> int:
+    """Aligned window rows per GROUP grid step in decimated (phase) space:
+    8*group frames x stride 1 + n_j taps + alignment slack, power of two
+    for roll."""
+    n_j = strided_phase_taps(max_taps, d)
+    w = 16
+    while w < 8 * group + n_j + 15:
+        w *= 2
+    return w
+
+
+def strided_phase_padding(max_taps: int, d: int, group: int = 8) -> int:
+    """Input rows required beyond the last grid step's base row: the caller
+    must provide S >= rows[0] + (n_out - 8*group)*d + this."""
+    return d * (_strided_w_load(max_taps, d, group) + 8)
+
+
+def _kernel_strided(
+    step_rows_ref,  # scalar prefetch (N/(8*G),): per-grid-step base row
+    kv_ref,         # (d*n_j + 1, 128) block: per-(phase, j) taps + q0 last row
+    *refs,          # d x (S2, 128) phase-view blocks, then the out block
+    n_j: int,
+    d: int,
+    w_load: int,
+    group: int,
+    clamp_s16: bool,
+):
+    """Fused integer-stride MAC in decimated row space (stride is exactly 1).
+
+    The free row-major view x[(S, L)] -> x2[(S/d, d*L)] puts input row
+    r = d*i + m at phase-block m of view row i, so an output frame whose
+    window starts at row r0 + n*d reads view rows n0 + n + j (stride ONE per
+    frame, no Bresenham jitter) at phase m, weighted k[d*j + m - s0]
+    (clownresampler.h:1008-1021 re-indexed by t = d*j + m - s0). Because
+    consecutive frames advance by exactly one view row, a whole 8*group-frame
+    grid step shares ONE aligned load + roll per phase (the tiled kernel
+    needs one per 8-frame tile); every window is then a static sublane
+    slice. All d phases arrive as separate lane-tile refs of the same view
+    (index-mapped 128-lane columns, one per phase block), so the tap sum
+    folds across phases in VMEM — exact under the per-term trunc semantics
+    (_macc: the reference's tap sum is a plain sum of independently
+    truncated terms in any order) — and the 17.15 normalisation
+    (clownresampler.h:1025-1033) happens in-kernel. No partial arrays, no
+    XLA epilogue.
+    """
+    x_refs, out_ref = refs[:-1], refs[-1]
+    jg = pl.program_id(1)
+    base = step_rows_ref[jg]
+    a = pl.multiple_of((base // 8) * 8, 8)
+    rs = [
+        pltpu.roll(x_refs[m][pl.ds(a, w_load), :], -(base - a), axis=0)
+        for m in range(d)
+    ]
+    q = kv_ref[d * n_j : d * n_j + 1, :]
+    results = []
+    for g in range(group):
+        acc = jnp.zeros((FRAMES_PER_TILE, LANES), jnp.int32)
+        for m in range(d):
+            r = rs[m]
+            for j in range(n_j):
+                o = g * FRAMES_PER_TILE + j
+                acc = _macc(
+                    r[o : o + FRAMES_PER_TILE],
+                    kv_ref[m * n_j + j : m * n_j + j + 1, :],
+                    acc,
+                )
+        results.append(fx.mul_shift15(acc, q))
+    out = jnp.concatenate(results, axis=0)
+    if clamp_s16:
+        out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
+    out_ref[:, :] = out
+
+
+def _kernel_strided_partial(
+    step_rows_ref,  # scalar prefetch (N/(8*G),): per-grid-step base row
+    kv_ref,         # (n_j, 128) block: this phase's tap values, lane-repeated
+    x_ref,          # (S2, 128) phase-view lane-tile block, int32
+    out_ref,        # (8*G, 128) partial-accumulation block
+    *,
+    n_j: int,
+    w_load: int,
+    group: int,
+):
+    """Wide-buffer variant of _kernel_strided: one phase per grid step.
+
+    Each step touches a single (S2, 128) phase block (VMEM footprint S/d
+    rows instead of S), emitting per-phase int32 partial tap sums that
+    resample_strided_phases_wide folds and normalises in an XLA epilogue.
+    Used when the full input exceeds the VMEM input budget that the fused
+    kernel's d simultaneous phase blocks would need.
+    """
+    jg = pl.program_id(1)
+    base = step_rows_ref[jg]
+    a = pl.multiple_of((base // 8) * 8, 8)
+    window = x_ref[pl.ds(a, w_load), :]
+    r = pltpu.roll(window, -(base - a), axis=0)
+    results = []
+    for g in range(group):
+        acc = jnp.zeros((FRAMES_PER_TILE, LANES), jnp.int32)
+        for j in range(n_j):
+            o = g * FRAMES_PER_TILE + j
+            acc = _macc(r[o : o + FRAMES_PER_TILE], kv_ref[j : j + 1, :], acc)
+        results.append(acc)
+    out_ref[:, :] = jnp.concatenate(results, axis=0)
+
+
+def _strided_setup(table, x, state, *, max_taps, n_out, d, group):
+    """Shared XLA-side precompute for the polyphase strided kernels.
+
+    Returns (x2 view, kv_small (n_j, d), q0, rows, step_rows, n_j, w_load,
+    s2): the decimated view, the per-(j, phase) tap table re-indexed by
+    t = d*j + m - s0, the constant normaliser, and per-grid-step base rows.
+    """
+    s, l = x.shape
+    n_j = strided_phase_taps(max_taps, d)
+    w_load = _strided_w_load(max_taps, d, group)
+    s2 = s // d
+    x2 = x[: s2 * d].reshape(s2, d * l)          # free view: row i = rows d*i..d*i+d-1
+
+    rows, kvals, q, _eps, _tiles = precompute_launch(
+        table, state, max_taps=max_taps, n_out=n_out
+    )
+    r0 = rows[0]                                  # rows[n] = r0 + n*d exactly
+    s0 = r0 % d
+    n0 = r0 // d
+    k0 = kvals[0]                                 # (T,) constant across frames
+    jj = jnp.arange(n_j, dtype=jnp.int32)[:, None]
+    mm = jnp.arange(d, dtype=jnp.int32)[None, :]
+    t = d * jj + mm - s0                          # tap index per (j, phase)
+    kv_small = jnp.where(
+        (t >= 0) & (t < max_taps), jnp.take(k0, jnp.clip(t, 0, max_taps - 1)), 0
+    )
+
+    step_frames = FRAMES_PER_TILE * group
+    n_steps = n_out // step_frames
+    step_rows = jnp.clip(
+        n0 + step_frames * jnp.arange(n_steps, dtype=jnp.int32),
+        0, max(s2 - w_load, 0),
+    )
+    return x2, kv_small, q[0], rows, step_rows, n_j, w_load, s2
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_taps", "n_out", "d", "group", "clamp_s16", "interpret",
+        "lanes", "lane_offset",
+    ),
+)
+def resample_strided_phases(
+    table,
+    x,                   # (S, L) int32; S >= rows[0] + (n_out-8)*d + strided_phase_padding
+    state: DeviceState,
+    *,
+    max_taps: int,
+    n_out: int,          # static; multiple of 8*group
+    d: int,              # static integer stride = increment >> 16, >= 2
+    group: int = 8,
+    clamp_s16: bool = False,
+    interpret: bool = False,
+    lanes: Optional[int] = None,   # static sub-launch width (default: all of x)
+    lane_offset: int = 0,          # static first lane column (multiple of 128)
+):
+    """Pallas integer-stride resample via polyphase decimation-as-a-view.
+
+    With increment_lo == 0 the phase fraction is constant: one tap vector k0
+    and one normaliser q0 serve every frame, and window rows advance by
+    exactly d (clownresampler.h:1076-1078 with a zero fractional increment).
+    Rather than strided device loads, reinterpret the input as
+    (S//d, d*L) — a free row-major reshape — where every frame's window is a
+    STRIDE-1 sublane slice: the same aligned-load + roll access pattern as
+    the headline tiled kernel, with ~T/d tap iterations per phase, zero
+    candidate selects, and a single load + roll per phase per 8*group-frame
+    grid step (see _kernel_strided).
+
+    Replaces resample_integer_stride (pure-XLA) on the hot path: XLA
+    materialises per-tap intermediates there (~7x slower per sample,
+    benchmarks/RESULTS.md); here all T MACs run in VMEM per grid step.
+
+    VMEM: all d phase blocks are resident per grid step — total input
+    footprint is the full S rows (like the tiled kernel). For inputs past
+    that budget use resample_strided_phases_wide (S/d rows per step).
+    """
+    assert d >= 2
+    s, l = x.shape
+    lanes = l if lanes is None else lanes
+    assert lanes % LANES == 0 and lane_offset % LANES == 0
+    assert lane_offset + lanes <= l
+    assert n_out % (FRAMES_PER_TILE * group) == 0
+    x2, kv_small, q0, rows, step_rows, n_j, w_load, s2 = _strided_setup(
+        table, x, state, max_taps=max_taps, n_out=n_out, d=d, group=group
+    )
+    # (d*n_j + 1, 128): row m*n_j + j = phase m's tap j; last row = q0.
+    kv = jnp.repeat(kv_small.T.reshape(d * n_j, 1), LANES, axis=1)
+    kv = jnp.concatenate(
+        [kv, jnp.broadcast_to(q0, (1, LANES)).astype(jnp.int32)], axis=0
+    )
+
+    per_phase = lanes // LANES                    # lane tiles per phase block
+    off = lane_offset // LANES
+    stride_tiles = l // LANES                     # phase-block stride in x2 tiles
+    step_frames = FRAMES_PER_TILE * group
+    x_specs = [
+        pl.BlockSpec(
+            (s2, LANES),
+            lambda i, j, *_, m=m: (0, m * stride_tiles + off + i),
+            memory_space=pltpu.VMEM,
+        )
+        for m in range(d)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(per_phase, n_out // step_frames),
+        in_specs=[
+            pl.BlockSpec(
+                (d * n_j + 1, LANES), lambda i, j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *x_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (step_frames, LANES), lambda i, j, *_: (j, i), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        partial(
+            _kernel_strided, n_j=n_j, d=d, w_load=w_load, group=group,
+            clamp_s16=clamp_s16,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, lanes), jnp.int16 if clamp_s16 else jnp.int32
+        ),
+        interpret=interpret,
+    )(step_rows, kv, *([x2] * d))
+    return out, rows
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_taps", "n_out", "d", "group", "clamp_s16", "interpret",
+        "lanes", "lane_offset",
+    ),
+)
+def resample_strided_phases_wide(
+    table,
+    x,                   # (S, L) int32; same padding contract as the fused kernel
+    state: DeviceState,
+    *,
+    max_taps: int,
+    n_out: int,          # static; multiple of 8*group
+    d: int,              # static integer stride = increment >> 16, >= 2
+    group: int = 8,
+    clamp_s16: bool = False,
+    interpret: bool = False,
+    lanes: Optional[int] = None,   # static sub-launch width (default: all of x)
+    lane_offset: int = 0,          # static first lane column (multiple of 128)
+):
+    """Wide-buffer polyphase strided resample: one phase per grid step.
+
+    Same math as resample_strided_phases but each grid step holds a single
+    (S/d, 128) phase block in VMEM, so inputs up to d times the fused
+    kernel's budget work. Emits per-phase int32 partial tap sums
+    (n_out, d*lanes); an XLA epilogue folds the d phase blocks and applies
+    the 17.15 normalisation (clownresampler.h:1025-1033) — one extra HBM
+    round-trip of the partial, which the fused kernel avoids.
+    """
+    assert d >= 2
+    s, l = x.shape
+    lanes = l if lanes is None else lanes
+    assert lanes % LANES == 0 and lane_offset % LANES == 0
+    assert lane_offset + lanes <= l
+    assert n_out % (FRAMES_PER_TILE * group) == 0
+    x2, kv_small, q0, rows, step_rows, n_j, w_load, s2 = _strided_setup(
+        table, x, state, max_taps=max_taps, n_out=n_out, d=d, group=group
+    )
+    kv = jnp.repeat(kv_small, LANES, axis=1)      # (n_j, d*128)
+
+    per_phase = lanes // LANES                    # lane tiles per phase block
+    off = lane_offset // LANES
+    stride_tiles = l // LANES                     # phase-block stride in x2 tiles
+    step_frames = FRAMES_PER_TILE * group
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d * per_phase, n_out // step_frames),
+        in_specs=[
+            pl.BlockSpec(
+                (n_j, LANES),
+                lambda i, j, *_: (0, i // per_phase),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (s2, LANES),
+                lambda i, j, *_: (0, (i // per_phase) * stride_tiles + off + i % per_phase),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (step_frames, LANES), lambda i, j, *_: (j, i), memory_space=pltpu.VMEM
+        ),
+    )
+    partial_out = pl.pallas_call(
+        partial(_kernel_strided_partial, n_j=n_j, w_load=w_load, group=group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, d * lanes), jnp.int32),
+        interpret=interpret,
+    )(step_rows, kv, x2)
+    acc = partial_out.reshape(n_out, d, lanes).sum(axis=1)
+    out = fx.mul_shift15(acc, q0)
+    if clamp_s16:
+        out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
+    return out, rows
+
+
+# ---------------------------------------------------------------------------
 # XLA strided path for exact integer strides (increment fractional part == 0)
 # ---------------------------------------------------------------------------
 
@@ -466,10 +817,21 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
                 lanes=lanes, lane_offset=lane_offset,
             )
         elif kind == "strided":
-            out, _ = resample_integer_stride(
-                table, x, st, max_taps=max_taps, n_out=n_out, d=d, clamp_s16=clamp,
-                lanes=lanes, lane_offset=lane_offset,
-            )
+            choice = choose_strided_plan(x.shape[0], d, n_out)
+            if choice is None:
+                out, _ = resample_integer_stride(
+                    table, x, st, max_taps=max_taps, n_out=n_out, d=d,
+                    clamp_s16=clamp, lanes=lanes, lane_offset=lane_offset,
+                )
+            else:
+                variant, grp = choice
+                fn = (resample_strided_phases if variant == "fused"
+                      else resample_strided_phases_wide)
+                out, _ = fn(
+                    table, x, st, max_taps=max_taps, n_out=n_out, d=d,
+                    group=grp, clamp_s16=clamp, interpret=interpret,
+                    lanes=lanes, lane_offset=lane_offset,
+                )
         elif kind == "general":
             out, _ = resample_uniform_lanes_general(
                 table, x, st, max_taps=max_taps, n_out=n_out, clamp_s16=clamp,

@@ -14,10 +14,15 @@ from clownresampler_tpu.lowlevel import make_device_state
 from clownresampler_tpu.models import lanczos_kernel_table
 from clownresampler_tpu.ops.convolve import convolve_frames
 from clownresampler_tpu.ops.pallas_resample import (
+    STRIDED_FUSED_MAX_ROWS,
+    choose_strided_plan,
     plan_uniform,
     resample_integer_stride,
+    resample_strided_phases,
+    resample_strided_phases_wide,
     resample_uniform_lanes_general,
     resample_uniform_lanes_tiled,
+    strided_phase_padding,
     window_rows_needed,
 )
 
@@ -92,6 +97,91 @@ def test_strided_path_bit_exact(in_rate, out_rate):
         table, x, state, max_taps=max_taps, n_out=n_out, d=plan["d"]
     )
     np.testing.assert_array_equal(np.asarray(got), want, err_msg=str((in_rate, out_rate)))
+
+
+def _setup_strided(in_rate, out_rate, p0, n_out, group, lanes=256, seed=9):
+    """Input sized to the polyphase kernels' over-read contract
+    (strided_phase_padding)."""
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    d = inc >> 16
+    assert inc & 0xFFFF == 0
+    state = make_device_state(p0, 0, cfg, inc)
+    max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    s = p0 + (n_out - 8 * group) * d + strided_phase_padding(max_taps, d, group) + 8
+    s = -(-s // 16) * 16
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
+    return d, state, max_taps, x
+
+
+@pytest.mark.parametrize("in_rate,out_rate", STRIDED_RATIOS + [(176400, 44100), (529200, 44100)])
+@pytest.mark.parametrize("p0", [0, 1, 5])
+def test_strided_phases_bit_exact(in_rate, out_rate, p0):
+    """Polyphase strided kernels (fused + wide) vs the oracle, across strides
+    d=2..12 and initial positions covering every phase residue s0."""
+    table = jnp.asarray(lanczos_kernel_table())
+    n_out = 64
+    d, state, max_taps, x = _setup_strided(in_rate, out_rate, p0, n_out, 8)
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _ = resample_strided_phases(
+        table, x, state, max_taps=max_taps, n_out=n_out, d=d, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), want,
+                                  err_msg=f"fused {in_rate}->{out_rate} p0={p0}")
+    got_w, _ = resample_strided_phases_wide(
+        table, x, state, max_taps=max_taps, n_out=n_out, d=d, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_w), want,
+                                  err_msg=f"wide {in_rate}->{out_rate} p0={p0}")
+
+
+def test_strided_phases_group32_sublaunch_clamp():
+    """group=32 (the TPU-default grain), lane-sliced sub-launches and the
+    fused s16 clamp all match the oracle."""
+    table = jnp.asarray(lanczos_kernel_table())
+    n_out = 256
+    d, state, max_taps, x = _setup_strided(96000, 48000, 3, n_out, 32, lanes=384)
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _ = resample_strided_phases(
+        table, x, state, max_taps=max_taps, n_out=n_out, d=d, group=32,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    for fn in (resample_strided_phases, resample_strided_phases_wide):
+        part, _ = fn(
+            table, x, state, max_taps=max_taps, n_out=n_out, d=d, group=32,
+            lanes=128, lane_offset=128, clamp_s16=True, interpret=True,
+        )
+        assert part.dtype == jnp.int16
+        want_part = np.clip(want[:, 128:256], -0x7FFF, 0x7FFF).astype(np.int16)
+        np.testing.assert_array_equal(np.asarray(part), want_part, err_msg=fn.__name__)
+
+
+def test_choose_strided_plan_thresholds():
+    """Variant selection: fused within the VMEM row budget, wide up to d x
+    budget, XLA (None) beyond or at off-grain frame counts."""
+    assert choose_strided_plan(4096, 2, 8192) == ("fused", 32)
+    assert choose_strided_plan(4096, 2, 64) == ("fused", 8)
+    assert choose_strided_plan(4096, 2, 8) is None          # off-grain
+    assert choose_strided_plan(STRIDED_FUSED_MAX_ROWS + 1, 2, 8192) == ("wide", 32)
+    assert choose_strided_plan(2 * STRIDED_FUSED_MAX_ROWS + 2, 2, 8192) is None
+    assert choose_strided_plan(3 * STRIDED_FUSED_MAX_ROWS, 4, 8192) == ("wide", 32)
+
+
+def test_multi_resample_strided_dispatch():
+    """multi_resample's "strided" kind routes through the polyphase kernels
+    and still matches the XLA path bit-for-bit."""
+    from clownresampler_tpu.ops.pallas_resample import multi_resample
+
+    table = jnp.asarray(lanczos_kernel_table())
+    n_out = 64
+    d, state, max_taps, x = _setup_strided(96000, 48000, 2, n_out, 8)
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    (got,) = multi_resample(
+        table, (x,), (state,),
+        (("strided", d, None, max_taps, n_out, False),), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_tiled_kernel_nonzero_initial_phase():

@@ -35,8 +35,11 @@ def main() -> int:
     from clownresampler_tpu.ops.pallas_resample import (
         plan_uniform,
         resample_integer_stride,
+        resample_strided_phases,
+        resample_strided_phases_wide,
         resample_uniform_lanes_general,
         resample_uniform_lanes_tiled,
+        strided_phase_padding,
     )
 
     fixtures = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
@@ -77,17 +80,30 @@ def main() -> int:
         state = make_device_state(0, 0x4321, cfg, inc)
         max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
         n_out = 512
+        plan = plan_uniform(inc, n_out)
         s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 96
+        if plan["kernel"] == "strided":
+            s += strided_phase_padding(max_taps, plan["d"], 32)
         s = -(-s // 16) * 16
         x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 256)).astype(np.int32))
-        plan = plan_uniform(inc, n_out)
         if plan["kernel"] == "tiled":
             got, _ = resample_uniform_lanes_tiled(
                 table, x, state, max_taps=max_taps, n_out=n_out,
                 d=plan["d"], cand=plan["cand"])
         elif plan["kernel"] == "strided":
-            got, _ = resample_integer_stride(
+            # verify all three strided implementations compiled on hardware
+            got, _ = resample_strided_phases(
+                table, x, state, max_taps=max_taps, n_out=n_out, d=plan["d"],
+                group=32)
+            got_wide, _ = resample_strided_phases_wide(
+                table, x, state, max_taps=max_taps, n_out=n_out, d=plan["d"],
+                group=32)
+            got_xla, _ = resample_integer_stride(
                 table, x, state, max_taps=max_taps, n_out=n_out, d=plan["d"])
+            agree = (np.array_equal(np.asarray(got), np.asarray(got_wide))
+                     and np.array_equal(np.asarray(got), np.asarray(got_xla)))
+            failures += not agree
+            print(f"{'PASS' if agree else 'FAIL'} strided variants agree {in_rate}->{out_rate}")
         else:
             got, _ = resample_uniform_lanes_general(
                 table, x, state, max_taps=max_taps, n_out=n_out)
