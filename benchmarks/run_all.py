@@ -326,6 +326,7 @@ def run_config(which: str) -> None:
         from clownresampler_tpu.ops.pallas_resample import (
             multi_resample,
             plan_uniform,
+            strided_phase_padding,
         )
 
         xs0, states, plans = [], [], []
@@ -336,6 +337,8 @@ def run_config(which: str) -> None:
             plan = plan_uniform(inc, n_out_default)
             taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
             s = ((n_out_default * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
+            if plan["kernel"] == "strided":
+                s += strided_phase_padding(taps, plan["d"], 32)
             s = -(-s // 16) * 16
             xs0.append(jnp.asarray(
                 rng.integers(-32768, 32768, size=(s, 512)).astype(np.int32)))

@@ -168,6 +168,7 @@ class UniformStreamFarm:
         else:
             self._staging = np.zeros((self._capacity, self._lanes), np.int32)
         self._fill = radius_bound      # rows of valid data (left zero halo)
+        self._pending_slide = None     # (consumed, keep) parked by defer_slide
 
     # ------------------------------------------------------------------
     def _set_config(self, cfg: Configuration, increment: int) -> None:
@@ -328,11 +329,14 @@ class UniformStreamFarm:
         return self._finish_emit(total_frames, n_out, lanes_out)
 
     def _finish_emit(
-        self, total_frames: int, n_out: int, lanes_out: Optional[np.ndarray]
+        self, total_frames: int, n_out: int, lanes_out: Optional[np.ndarray],
+        defer_slide: bool = False,
     ) -> np.ndarray:
         """De-interleave launched lanes, advance the phase, slide the staging
         window. Split from _emit so MixedStreamFarm can run every group's
-        launches as one combined device program between the two halves."""
+        launches as one combined device program between the two halves;
+        defer_slide additionally parks the device shift in _pending_slide for
+        the caller to fuse across groups."""
         out_dtype = np.int16 if self.clamp_s16 else np.int32
         if n_out > 0:
             if self.clamp_s16:
@@ -357,7 +361,11 @@ class UniformStreamFarm:
         # Slide out consumed frames; retain everything after them (incl. halo).
         keep = self._fill - consumed
         if consumed:
-            if self._device_staging:
+            if self._device_staging and defer_slide:
+                # MixedStreamFarm fuses every group's slide into ONE device
+                # program after distributing results (see _pending_slide).
+                self._pending_slide = (consumed, keep)
+            elif self._device_staging:
                 self._staging = self._dev_shift(
                     self._staging, jnp.int32(consumed), jnp.int32(keep)
                 )
@@ -366,15 +374,28 @@ class UniformStreamFarm:
         self._fill = keep
         return result
 
-    def _stage(self, chunk: np.ndarray) -> int:
-        """Stage one input chunk; returns the consumable frame count (the
-        last `radius` data rows stay held back until more data or flush
-        arrives — the high-level buffer's early `input_buffer_end`, 1154)."""
+    def _stage_prepare(self, chunk: np.ndarray) -> np.ndarray:
+        """Validate a chunk against the staging contract (host-side half of
+        _stage, split out so MixedStreamFarm can fuse every group's device
+        staging op into one program)."""
         chunk = np.ascontiguousarray(chunk, dtype=np.int16)
         b, n, c = chunk.shape
         assert b == self.n_streams and c == self.channels and n <= self.chunk_frames
         if self._fill + n > self._capacity:
             raise ValueError("staging overflow: feed chunks of at most chunk_frames")
+        return chunk
+
+    def _stage_commit(self, n: int) -> int:
+        """Advance the fill cursor after the staging write; returns the
+        consumable frame count (the last `radius` data rows stay held back
+        until more data or flush arrives — the high-level buffer's early
+        `input_buffer_end`, 1154)."""
+        self._fill += n
+        return self._fill - 2 * self._radius_bound
+
+    def _stage(self, chunk: np.ndarray) -> int:
+        """Stage one input chunk; returns the consumable frame count."""
+        chunk = self._stage_prepare(chunk)
         if self._device_staging:
             self._staging = self._dev_stage(
                 self._staging, jnp.asarray(chunk), jnp.int32(self._fill),
@@ -382,8 +403,7 @@ class UniformStreamFarm:
             )
         else:
             native.stage_chunk(chunk, self._staging, self._fill)
-        self._fill += n
-        return self._fill - 2 * self._radius_bound
+        return self._stage_commit(chunk.shape[1])
 
     def process(self, chunk: np.ndarray) -> np.ndarray:
         """Feed (n_streams, n, channels) int16; returns (n_streams, m, channels)
@@ -451,19 +471,57 @@ class MixedStreamFarm:
                 self._groups[key] = (farm, [])
             self._groups[key][1].append(i)
 
+    # Fused per-group device staging ops: one compiled program stages (or
+    # slides) EVERY group's buffers, instead of one ~30 us dispatch per group
+    # per chunk (same flat-dispatch-floor argument as the fused launches).
+    @staticmethod
+    @partial(jax.jit, static_argnames=("lanes_list",))
+    def _dev_stage_groups(stagings_list, chunks, fills, lanes_list):
+        return tuple(
+            UniformStreamFarm._dev_stage(st, ch, f, total_lanes=tl)
+            for st, ch, f, tl in zip(stagings_list, chunks, fills, lanes_list)
+        )
+
+    @staticmethod
+    @jax.jit
+    def _dev_shift_groups(stagings_list, shifts, keeps):
+        return tuple(
+            UniformStreamFarm._dev_shift(st, sh, k)
+            for st, sh, k in zip(stagings_list, shifts, keeps)
+        )
+
     def process(self, chunks: list) -> list:
         """chunks[i]: (n, channels) int16 for stream i (equal n per call).
         Returns outputs[i]: (m_i, channels) int32 (m varies per ratio).
 
-        All groups' kernel launches for this chunk run as ONE device program
-        (see class docstring); staging and the post-launch bookkeeping stay
-        per-group.
+        The whole chunk cycle runs as THREE device programs regardless of
+        group count: one fused staging write, one fused multi-kernel launch,
+        one fused staging slide (see class docstring for the dispatch-floor
+        rationale).
         """
-        # Stage every group's chunk, collect each group's sub-launch specs.
-        pending = []  # (farm, members, total, n_out, specs, lane_splits)
+        # Stage every group's chunk (one fused program when device-resident),
+        # collect each group's sub-launch specs.
+        staged = []  # (farm, members, batch)
         for farm, members in self._groups.values():
-            batch = np.stack([np.asarray(chunks[i], np.int16) for i in members])
-            total = farm._stage(batch)
+            batch = farm._stage_prepare(
+                np.stack([np.asarray(chunks[i], np.int16) for i in members])
+            )
+            staged.append((farm, members, batch))
+        dev_farms = [t for t in staged if t[0]._device_staging]
+        if dev_farms:
+            new_stagings = self._dev_stage_groups(
+                tuple(f._staging for f, _, _ in dev_farms),
+                tuple(jnp.asarray(b) for _, _, b in dev_farms),
+                tuple(jnp.int32(f._fill) for f, _, _ in dev_farms),
+                lanes_list=tuple(f._lanes for f, _, _ in dev_farms),
+            )
+            for (f, _, _), st in zip(dev_farms, new_stagings):
+                f._staging = st
+        pending = []  # (farm, members, total, n_out, specs, lane_splits)
+        for farm, members, batch in staged:
+            if not farm._device_staging:
+                native.stage_chunk(batch, farm._staging, farm._fill)
+            total = farm._stage_commit(batch.shape[1])
             n_out = farm._natural_count(total) if total > 0 else 0
             specs, lane_splits = farm._launch_specs(n_out) if n_out > 0 else ([], 1)
             pending.append((farm, members, total, n_out, specs, lane_splits))
@@ -487,7 +545,8 @@ class MixedStreamFarm:
         else:
             outs = []
 
-        # Distribute results and run each group's bookkeeping.
+        # Distribute results and run each group's bookkeeping; device slides
+        # are parked (defer_slide) and fused into one program at the end.
         outputs: list = [None] * self.n_streams
         cursor = 0
         for farm, members, total, n_out, specs, lane_splits in pending:
@@ -499,12 +558,22 @@ class MixedStreamFarm:
             else:
                 lanes_out = None
             if total > 0:
-                out = farm._finish_emit(total, n_out, lanes_out)
+                out = farm._finish_emit(total, n_out, lanes_out, defer_slide=True)
             else:
                 dtype = np.int16 if farm.clamp_s16 else np.int32
                 out = np.zeros((farm.n_streams, 0, farm.channels), dtype)
             for j, i in enumerate(members):
                 outputs[i] = out[j]
+        sliding = [f for f, *_ in pending if f._pending_slide is not None]
+        if sliding:
+            new_stagings = self._dev_shift_groups(
+                tuple(f._staging for f in sliding),
+                tuple(jnp.int32(f._pending_slide[0]) for f in sliding),
+                tuple(jnp.int32(f._pending_slide[1]) for f in sliding),
+            )
+            for f, st in zip(sliding, new_stagings):
+                f._staging = st
+                f._pending_slide = None
         return outputs
 
     def flush(self) -> list:
