@@ -240,9 +240,36 @@ def run_config(which: str) -> None:
                 n_out * n_sub * split, _kslope(body, xs0), 54.0)
 
     elif which == "3":
-        body, x0, samples = make_body(8000, 48000, 1024)
-        _report("config3 mono 8k->48k upsample x1024 streams",
-                samples, _kslope(body, x0), 45.5)
+        # split-chain fleet (same methodology as the headline and config 2:
+        # independent sub-fleet staging buffers whose chains overlap on
+        # device, as the farm's LANE_SPLIT staging does natively)
+        from clownresampler_tpu.ops.pallas_resample import (
+            multi_resample,
+            plan_uniform,
+        )
+
+        n_sub, split = 4, 256
+        bodies = [make_body(8000, 48000, split) for _ in range(n_sub)]
+        xs0 = tuple(b[1] for b in bodies)
+        # rebuild as one fused program over the sub-fleets
+        from clownresampler_tpu import fixedpoint as fx
+        from clownresampler_tpu.configure import configure
+        from clownresampler_tpu.lowlevel import make_device_state
+        cfg = configure(8000, 48000, 48000)
+        inc = fx.calculate_ratio(8000, 48000)
+        plan = plan_uniform(inc, n_out_default)
+        taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        state = make_device_state(0, 0x4321, cfg, inc)
+        plans = tuple((plan["kernel"], plan["d"], plan["cand"], taps,
+                       n_out_default, False) for _ in range(n_sub))
+        states = tuple(state for _ in range(n_sub))
+
+        def body(xs):
+            outs = multi_resample(table, xs, states, plans)
+            return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
+
+        _report("config3 mono 8k->48k upsample x1024 streams (4 split chains)",
+                n_out_default * n_sub * split, _kslope(body, xs0), 45.5)
 
     elif which == "4":
         # pitch bend: ONE farm whose ratio is adjusted EVERY chunk across the
