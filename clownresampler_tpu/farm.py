@@ -96,6 +96,8 @@ class UniformStreamFarm:
         interpret: bool = False,
         device_staging: Optional[bool] = None,
         clamp_s16: bool = False,
+        lane_multiple: int = LANES,
+        split_lanes: bool = True,
     ):
         low_pass_rate = low_pass_rate if low_pass_rate is not None else max(input_rate, output_rate)
         cfg = configure(input_rate, output_rate, low_pass_rate,
@@ -110,7 +112,8 @@ class UniformStreamFarm:
         self.clamp_s16 = clamp_s16  # emit clamped int16 (serving; halves D2H)
         self._table = jnp.asarray(model.table())
 
-        self._lanes = fx.round_up(n_streams * channels, LANES)
+        assert lane_multiple % LANES == 0
+        self._lanes = fx.round_up(n_streams * channels, lane_multiple)
         radius_bound = max(cfg.integer_stretched_kernel_radius, max_radius or 0)
         self._max_taps = fx.round_up(2 * radius_bound, 8)
         self._radius_bound = radius_bound
@@ -150,8 +153,10 @@ class UniformStreamFarm:
         # chain, letting the device overlap kernels across sub-fleets
         # (measured ~2x vs one monolithic buffer, benchmarks/RESULTS.md);
         # oracle-routed farms stay unsplit (the gather reads all lanes).
-        self._lane_slices = compute_lane_slices(
-            self._lanes, self._max_taps, self._capacity
+        self._lane_slices = (
+            compute_lane_slices(self._lanes, self._max_taps, self._capacity)
+            if split_lanes
+            else [(self._lanes, 0)]
         )
 
         # Device-resident staging (default on TPU): the buffers live in HBM;

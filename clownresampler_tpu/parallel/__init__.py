@@ -1,9 +1,15 @@
 """Mesh-parallel scaling of the stream farm (DP over streams, SP over frames)."""
 
+from clownresampler_tpu.parallel.farm import ShardedStreamFarm
 from clownresampler_tpu.parallel.sharding import (
     make_mesh,
     sharded_resample_batch,
     sharded_uniform_resample,
 )
 
-__all__ = ["make_mesh", "sharded_resample_batch", "sharded_uniform_resample"]
+__all__ = [
+    "ShardedStreamFarm",
+    "make_mesh",
+    "sharded_resample_batch",
+    "sharded_uniform_resample",
+]
