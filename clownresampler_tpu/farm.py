@@ -398,6 +398,37 @@ class UniformStreamFarm:
         self._fill += n
         return self._fill - 2 * self._radius_bound
 
+    def _gather_lanes(self, lane_lo: int, width: int) -> np.ndarray:
+        """Read staged columns [lane_lo, lane_lo+width) back to the host
+        (used when a stream migrates between farms, e.g. per-stream adjust)."""
+        if self._device_staging:
+            parts = []
+            for (w, off), buf in zip(self._lane_slices, self._staging):
+                lo = max(lane_lo, off)
+                hi = min(lane_lo + width, off + w)
+                if lo < hi:
+                    parts.append(np.asarray(buf[:, lo - off : hi - off]))
+            return np.concatenate(parts, axis=1)
+        return np.array(self._staging[:, lane_lo : lane_lo + width])
+
+    def _seed_lanes(self, lane_lo: int, data: np.ndarray) -> None:
+        """Overwrite staged columns [lane_lo, lane_lo+data.shape[1]) with
+        host rows (the inverse of _gather_lanes; rows beyond data are kept)."""
+        r, width = data.shape
+        if self._device_staging:
+            new = []
+            for (w, off), buf in zip(self._lane_slices, self._staging):
+                lo = max(lane_lo, off)
+                hi = min(lane_lo + width, off + w)
+                if lo < hi:
+                    host = np.asarray(buf)
+                    host[:r, lo - off : hi - off] = data[:, lo - lane_lo : hi - lane_lo]
+                    buf = jnp.asarray(host)
+                new.append(buf)
+            self._staging = tuple(new)
+        else:
+            self._staging[:r, lane_lo : lane_lo + width] = data
+
     def _stage(self, chunk: np.ndarray) -> int:
         """Stage one input chunk; returns the consumable frame count."""
         chunk = self._stage_prepare(chunk)
@@ -451,8 +482,9 @@ class MixedStreamFarm:
 
     ``specs`` is a list of per-stream (input_rate, output_rate[, lpf]) tuples.
     ``process`` takes/returns per-stream lists (outputs differ in length per
-    ratio). Per-stream re-rating is not implemented yet; rebuild the farm (or
-    run the stream through its own UniformStreamFarm and use adjust there).
+    ratio). Per-stream re-rating is :meth:`adjust_stream` (the re-rated
+    stream splits into its own phase-carrying group); whole-fleet re-rating
+    of a uniform group is its farm's ``adjust``.
     """
 
     def __init__(self, specs, channels: int, chunk_frames: int = 4096,
@@ -460,21 +492,79 @@ class MixedStreamFarm:
                  max_radius: Optional[int] = None):
         self.channels = channels
         self.n_streams = len(specs)
-        self._groups: dict[tuple, tuple[UniformStreamFarm, list[int]]] = {}
+        self.chunk_frames = chunk_frames
+        self.model = model
+        self.interpret = interpret
+        self.max_radius = max_radius
+        # [(farm, members)]: members[j] is the stream id occupying the farm's
+        # lane slot j, or None for a slot vacated by adjust_stream (fed zeros,
+        # its output discarded). Groups are identified by position, not ratio:
+        # a re-rated stream carries its own phase, so two groups may share a
+        # ratio but differ in phase lineage.
+        self._groups: list[list] = []
         norm = []
         for spec in specs:
             in_rate, out_rate = spec[0], spec[1]
             lpf = spec[2] if len(spec) > 2 else max(in_rate, out_rate)
             norm.append((in_rate, out_rate, lpf))
+        by_key: dict[tuple, int] = {}
         for i, key in enumerate(norm):
-            if key not in self._groups:
+            if key not in by_key:
                 farm = UniformStreamFarm(
                     sum(1 for k in norm if k == key), channels, *key,
                     chunk_frames=chunk_frames, model=model,
                     interpret=interpret, max_radius=max_radius,
                 )
-                self._groups[key] = (farm, [])
-            self._groups[key][1].append(i)
+                by_key[key] = len(self._groups)
+                self._groups.append([farm, []])
+            self._groups[by_key[key]][1].append(i)
+
+    def adjust_stream(self, i: int, input_rate: int, output_rate: int,
+                      low_pass_rate: Optional[int] = None) -> bool:
+        """Re-rate ONE stream mid-stream (the reference's per-stream Adjust,
+        clownresampler.h:1052-1056, at batch scale): position carries over,
+        only the increment/stretching change; every other stream is
+        untouched.
+
+        A stream's phase is its own after an adjust, so it can no longer
+        share a uniform launch with its old group: the stream is split into
+        its own single-stream farm seeded with its current phase and staged
+        samples, and its old lane slot is retired (fed zeros). Subsequent
+        adjusts on the same stream are then in-place on its private farm.
+        Fails (returns False, nothing changes) if the new ratio is
+        unsupported or its radius exceeds the construction-time bound, like
+        HighLevel_Adjust (clownresampler.h:1183-1209)."""
+        low_pass_rate = (low_pass_rate if low_pass_rate is not None
+                         else max(input_rate, output_rate))
+        for group in self._groups:
+            farm, members = group
+            if i in members:
+                break
+        else:
+            raise IndexError(f"no stream {i}")
+        if sum(1 for m in members if m is not None) == 1:
+            return farm.adjust(input_rate, output_rate, low_pass_rate)
+        # Validate against the source farm's reserved radius bound BEFORE any
+        # surgery (transactional, like HighLevel_Adjust's backup/rollback).
+        cfg = configure(input_rate, output_rate, low_pass_rate,
+                        radius=farm.model.radius, resolution=farm.model.resolution)
+        if cfg is None or cfg.integer_stretched_kernel_radius > farm._radius_bound:
+            return False
+        j = members.index(i)
+        staged = farm._gather_lanes(j * self.channels, self.channels)
+        solo = UniformStreamFarm(
+            1, self.channels, input_rate, output_rate, low_pass_rate,
+            chunk_frames=self.chunk_frames, model=self.model,
+            interpret=self.interpret, max_radius=farm._radius_bound,
+        )
+        assert solo._capacity == farm._capacity, "capacity drift between farms"
+        solo.position_integer = farm.position_integer
+        solo.position_fractional = farm.position_fractional
+        solo._fill = farm._fill
+        solo._seed_lanes(0, staged[: solo._capacity])
+        members[j] = None
+        self._groups.append([solo, [i]])
+        return True
 
     # Fused per-group device staging ops: one compiled program stages (or
     # slides) EVERY group's buffers, instead of one ~30 us dispatch per group
@@ -505,11 +595,17 @@ class MixedStreamFarm:
         rationale).
         """
         # Stage every group's chunk (one fused program when device-resident),
-        # collect each group's sub-launch specs.
+        # collect each group's sub-launch specs. Vacated lane slots (None
+        # members, retired by adjust_stream) are fed zeros.
+        live = [i for _, members in self._groups for i in members if i is not None]
+        zeros = np.zeros_like(np.asarray(chunks[live[0]], np.int16))
         staged = []  # (farm, members, batch)
-        for farm, members in self._groups.values():
+        for farm, members in self._groups:
             batch = farm._stage_prepare(
-                np.stack([np.asarray(chunks[i], np.int16) for i in members])
+                np.stack([
+                    zeros if i is None else np.asarray(chunks[i], np.int16)
+                    for i in members
+                ])
             )
             staged.append((farm, members, batch))
         dev_farms = [t for t in staged if t[0]._device_staging]
@@ -568,7 +664,8 @@ class MixedStreamFarm:
                 dtype = np.int16 if farm.clamp_s16 else np.int32
                 out = np.zeros((farm.n_streams, 0, farm.channels), dtype)
             for j, i in enumerate(members):
-                outputs[i] = out[j]
+                if i is not None:
+                    outputs[i] = out[j]
         sliding = [f for f, *_ in pending if f._pending_slide is not None]
         if sliding:
             new_stagings = self._dev_shift_groups(
@@ -583,8 +680,9 @@ class MixedStreamFarm:
 
     def flush(self) -> list:
         outputs: list = [None] * self.n_streams
-        for farm, members in self._groups.values():
+        for farm, members in self._groups:
             out = farm.flush()
             for j, i in enumerate(members):
-                outputs[i] = out[j]
+                if i is not None:
+                    outputs[i] = out[j]
         return outputs

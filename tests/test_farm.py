@@ -249,3 +249,73 @@ def test_farm_clamp_s16_output():
         np.testing.assert_array_equal(
             c, np.clip(w, -0x7FFF, 0x7FFF).astype(np.int16), err_msg=str((in_rate, out_rate))
         )
+
+
+def test_mixed_farm_per_stream_adjust():
+    """adjust_stream re-rates ONE stream mid-stream (its position carries,
+    clownresampler.h:1052-1056); every stream still matches a per-stream
+    UniformStreamFarm driven with the same adjust schedule."""
+    from clownresampler_tpu.farm import MixedStreamFarm
+
+    rng = np.random.default_rng(41)
+    ch, chunk, n_chunks = 2, 256, 4
+    specs = [(48000, 44100), (48000, 44100), (8000, 44100)]
+    data = [
+        rng.integers(-32768, 32768, size=(n_chunks * chunk, ch)).astype(np.int16)
+        for _ in specs
+    ]
+    # stream 1 re-rates to 96k->48k before chunk 2, then to 32k->48k before
+    # chunk 3 (second adjust lands on its private farm); max_radius reserves
+    # the widest radius the schedule reaches.
+    farm = MixedStreamFarm(specs, ch, chunk_frames=chunk, interpret=True,
+                           max_radius=8)
+    outs = [[] for _ in specs]
+    for k in range(n_chunks):
+        if k == 2:
+            assert farm.adjust_stream(1, 96000, 48000)
+        if k == 3:
+            assert farm.adjust_stream(1, 32000, 48000)
+        res = farm.process([d[k * chunk : (k + 1) * chunk] for d in data])
+        for i, r in enumerate(res):
+            outs[i].append(r)
+    for i, r in enumerate(farm.flush()):
+        outs[i].append(r)
+
+    # per-stream references with the same schedule
+    for i, (in_rate, out_rate) in enumerate(specs):
+        ref = UniformStreamFarm(1, ch, in_rate, out_rate, chunk_frames=chunk,
+                                interpret=True, max_radius=8)
+        want = []
+        for k in range(n_chunks):
+            if i == 1 and k == 2:
+                assert ref.adjust(96000, 48000)
+            if i == 1 and k == 3:
+                assert ref.adjust(32000, 48000)
+            want.append(ref.process(data[i][None, k * chunk : (k + 1) * chunk]))
+        want.append(ref.flush())
+        want_cat = np.concatenate([w[0] for w in want], axis=0)
+        got = np.concatenate(outs[i], axis=0)
+        np.testing.assert_array_equal(got, want_cat, err_msg=f"stream {i}")
+
+
+def test_mixed_farm_adjust_stream_rejects_and_rolls_back():
+    from clownresampler_tpu.farm import MixedStreamFarm
+
+    rng = np.random.default_rng(43)
+    ch, chunk = 1, 256
+    specs = [(48000, 44100), (48000, 44100)]
+    data = [rng.integers(-32768, 32768, size=(2 * chunk, ch)).astype(np.int16)
+            for _ in specs]
+    farm = MixedStreamFarm(specs, ch, chunk_frames=chunk, interpret=True)
+    farm.process([d[:chunk] for d in data])
+    # radius growth past the construction bound fails, nothing changes
+    assert not farm.adjust_stream(0, 44100, 8000)
+    assert len(farm._groups) == 1 and farm._groups[0][1] == [0, 1]
+    res = farm.process([d[chunk:] for d in data])
+    ref = UniformStreamFarm(2, ch, 48000, 44100, chunk_frames=chunk,
+                            interpret=True)
+    a = ref.process(np.stack([d[:chunk] for d in data]))
+    b = ref.process(np.stack([d[chunk:] for d in data]))
+    np.testing.assert_array_equal(
+        np.concatenate(res, axis=0).reshape(2, -1, ch)[0], b[0],
+        err_msg="post-reject chunk")
