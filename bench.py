@@ -41,9 +41,11 @@ def main() -> None:
     from clownresampler_tpu.configure import configure
     from clownresampler_tpu.lowlevel import make_device_state
     from clownresampler_tpu.models import lanczos_kernel_table
+    from clownresampler_tpu.models import DEFAULT_MODEL
     from clownresampler_tpu.ops.pallas_resample import (
         multi_resample,
         plan_uniform,
+        strided_table_device,
     )
 
     B, CH = 1024, 2
@@ -52,7 +54,7 @@ def main() -> None:
     N_OUT = 8192   # frames per kernel invocation (16384 exceeds Mosaic VMEM)
     SPLIT = 512    # lanes per zero-copy sub-launch (several narrow pallas
                    # calls overlap per-step latency; K-slope-measured fastest)
-    K1, K2 = 8, 40
+    K1, K2 = 16, 96
 
     cfg = configure(IN_RATE, OUT_RATE, OUT_RATE)
     inc = fx.calculate_ratio(IN_RATE, OUT_RATE)
@@ -81,9 +83,14 @@ def main() -> None:
         for _ in range(n_sub)
     )
     states = tuple(state for _ in range(n_sub))
+    tstrs = tuple(
+        strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                             cfg.kernel_step_size, max_taps)
+        for _ in range(n_sub)
+    )
 
     def body(xs, _):
-        outs = multi_resample(table, xs, states, plans)
+        outs = multi_resample(table, xs, states, plans, tstrs=tstrs)
         # feed one non-foldable output bit of every sub-launch into ITS OWN
         # next input: true per-chain serialization, no cross-chain barrier,
         # and dead-code elimination is impossible

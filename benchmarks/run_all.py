@@ -39,11 +39,17 @@ import numpy as np
 
 CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6"]
 
-K1, K2 = 4, 16
+K1, K2 = 8, 40
 
 
-def _kslope(body, carry0, k1=K1, k2=K2, reps=4):
-    """Per-iteration seconds of `body` via the two-length chained scan."""
+def _kslope(body, carry0, k1=K1, k2=K2, reps=4, min_delta=0.02):
+    """Per-iteration seconds of `body` via the two-length chained scan.
+
+    Adaptive: if the two chain lengths differ by less than ``min_delta``
+    seconds of wall time, the slope is below this relay's timing jitter —
+    quadruple both lengths and remeasure (kernels got fast enough this round
+    that fixed K1/K2 produced negative slopes on the quickest configs).
+    """
     import jax
 
     def make(k):
@@ -55,12 +61,6 @@ def _kslope(body, carry0, k1=K1, k2=K2, reps=4):
 
         return chain
 
-    c1, c2 = make(k1), make(k2)
-    for c in (c1, c2):  # compile + warm; force real completion
-        r = c(carry0)
-        jax.block_until_ready(r)
-        _ = np.asarray(r)
-
     def best_time(c):
         ts = []
         for _ in range(reps):
@@ -71,7 +71,16 @@ def _kslope(body, carry0, k1=K1, k2=K2, reps=4):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return (best_time(c2) - best_time(c1)) / (k2 - k1)
+    while True:
+        c1, c2 = make(k1), make(k2)
+        for c in (c1, c2):  # compile + warm; force real completion
+            r = c(carry0)
+            jax.block_until_ready(r)
+            _ = np.asarray(r)
+        t1, t2 = best_time(c1), best_time(c2)
+        if t2 - t1 >= min_delta or k2 >= 2048:
+            return (t2 - t1) / (k2 - k1)
+        k1, k2 = k1 * 4, k2 * 4
 
 
 def _report(name, samples_per_iter, dt, anchor_msps):
@@ -93,6 +102,7 @@ def _bench_common():
     from clownresampler_tpu.configure import configure
     from clownresampler_tpu.lowlevel import make_device_state
     from clownresampler_tpu.models import lanczos_kernel_table
+    from clownresampler_tpu.models import DEFAULT_MODEL
     from clownresampler_tpu.ops.pallas_resample import (
         choose_strided_plan,
         plan_uniform,
@@ -102,6 +112,7 @@ def _bench_common():
         resample_uniform_lanes_general,
         resample_uniform_lanes_tiled,
         strided_phase_padding,
+        strided_table_device,
     )
 
     table = jnp.asarray(lanczos_kernel_table())
@@ -126,10 +137,12 @@ def _bench_common():
         state = make_device_state(0, 0x4321, cfg, inc)
         jax.block_until_ready(x0)
 
+        tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                                    cfg.kernel_step_size, max_taps)
         if plan["kernel"] == "tiled":
             fn = lambda x: resample_uniform_lanes_tiled(
                 table, x, state, max_taps=max_taps, n_out=n_out,
-                d=plan["d"], cand=plan["cand"])[0]
+                d=plan["d"], cand=plan["cand"], table_strided=tstr)[0]
         elif plan["kernel"] == "strided":
             choice = choose_strided_plan(s, plan["d"], n_out)
             if choice is None:
@@ -145,7 +158,8 @@ def _bench_common():
                     d=plan["d"], group=grp)[0]
         else:
             fn = lambda x: resample_uniform_lanes_general(
-                table, x, state, max_taps=max_taps, n_out=n_out)[0]
+                table, x, state, max_taps=max_taps, n_out=n_out,
+                table_strided=tstr)[0]
 
         def body(x):
             out = fn(x)
@@ -263,9 +277,13 @@ def run_config(which: str) -> None:
         plans = tuple((plan["kernel"], plan["d"], plan["cand"], taps,
                        n_out_default, False) for _ in range(n_sub))
         states = tuple(state for _ in range(n_sub))
+        from clownresampler_tpu.models import DEFAULT_MODEL as _M
+        from clownresampler_tpu.ops.pallas_resample import strided_table_device as _std
+        tstrs3 = tuple(_std(_M.radius, _M.resolution, cfg.kernel_step_size, taps)
+                       for _ in range(n_sub))
 
         def body(xs):
-            outs = multi_resample(table, xs, states, plans)
+            outs = multi_resample(table, xs, states, plans, tstrs=tstrs3)
             return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
 
         _report("config3 mono 8k->48k upsample x1024 streams (4 split chains)",
@@ -356,7 +374,9 @@ def run_config(which: str) -> None:
             strided_phase_padding,
         )
 
-        xs0, states, plans = [], [], []
+        from clownresampler_tpu.models import DEFAULT_MODEL as _M
+        from clownresampler_tpu.ops.pallas_resample import strided_table_device as _std
+        xs0, states, plans, tstrs5 = [], [], [], []
         for in_rate, out_rate in [(48000, 44100), (44100, 48000),
                                   (8000, 48000), (96000, 48000)]:
             cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
@@ -372,11 +392,14 @@ def run_config(which: str) -> None:
             states.append(make_device_state(0, 0x4321, cfg, inc))
             plans.append((plan["kernel"], plan.get("d"), plan.get("cand"),
                           taps, n_out_default, False))
-        states, plans = tuple(states), tuple(plans)
+            tstrs5.append(
+                _std(_M.radius, _M.resolution, cfg.kernel_step_size, taps)
+                if plan["kernel"] in ("tiled", "general") else None)
+        states, plans, tstrs5 = tuple(states), tuple(plans), tuple(tstrs5)
         jax.block_until_ready(xs0)
 
         def body(xs):
-            outs = multi_resample(table, xs, states, plans)
+            outs = multi_resample(table, xs, states, plans, tstrs=tstrs5)
             return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
 
         dt = _kslope(body, tuple(xs0))
@@ -405,10 +428,14 @@ def run_config(which: str) -> None:
                        for _ in range(n_sub))
         states6 = tuple(make_device_state(0, (7 * k + 3) % 65536, cfg, inc)
                         for k in range(n_sub))
+        from clownresampler_tpu.models import DEFAULT_MODEL as _M
+        from clownresampler_tpu.ops.pallas_resample import strided_table_device as _std
+        tstrs6 = tuple(_std(_M.radius, _M.resolution, cfg.kernel_step_size, taps)
+                       for _ in range(n_sub))
         jax.block_until_ready(list(xs0))
 
         def body(xs):
-            outs = multi_resample(table, xs, states6, plans6)
+            outs = multi_resample(table, xs, states6, plans6, tstrs=tstrs6)
             return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
 
         dt = _kslope(body, xs0)

@@ -35,6 +35,7 @@ from clownresampler_tpu.ops.pallas_resample import (
     multi_resample,
     plan_uniform,
     strided_phase_padding,
+    strided_table_device,
     window_rows_needed,
 )
 from clownresampler_tpu.utils import native
@@ -289,6 +290,19 @@ class UniformStreamFarm:
             done += tile
         return specs, len(self._lane_slices)
 
+    def _spec_tstr(self, specs: list) -> tuple:
+        """Per-spec strided kernel table (the fast row-gather LUT layout)
+        for the tiled/general kinds; None otherwise."""
+        tstr = None
+        if any(p[0] in ("tiled", "general") for *_, p in specs):
+            tstr = strided_table_device(
+                self.model.radius, self.model.resolution,
+                self.config.kernel_step_size, self._max_taps,
+            )
+        return tuple(
+            tstr if p[0] in ("tiled", "general") else None for *_, p in specs
+        )
+
     def _spec_inputs(self, specs: list) -> tuple:
         """The per-spec input buffer tuple (device path: the independent
         per-slice buffers; host path: uploaded column slices)."""
@@ -323,6 +337,7 @@ class UniformStreamFarm:
             tuple(state for _, _, state, _ in specs),
             tuple(plan for *_, plan in specs),
             interpret=self.interpret,
+            tstrs=self._spec_tstr(specs),
         )
         return self._collect_parts(specs, outs, lane_splits)
 
@@ -628,9 +643,10 @@ class MixedStreamFarm:
             pending.append((farm, members, total, n_out, specs, lane_splits))
 
         # One combined launch across every group's specs.
-        xs, states, plans = [], [], []
+        xs, states, plans, tstrs = [], [], [], []
         for farm, _, _, _, specs, _ in pending:
             xs.extend(farm._spec_inputs(specs))
+            tstrs.extend(farm._spec_tstr(specs))
             for _, _si, state, plan in specs:
                 states.append(state)
                 plans.append(plan)
@@ -640,7 +656,7 @@ class MixedStreamFarm:
             outs = list(
                 multi_resample(
                     table, tuple(xs), tuple(states), tuple(plans),
-                    interpret=interpret,
+                    interpret=interpret, tstrs=tuple(tstrs),
                 )
             )
         else:

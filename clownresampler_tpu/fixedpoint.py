@@ -117,17 +117,36 @@ def ceil_shr16_nonneg(x):
 def reciprocal_q31(denom):
     """C ``0x80000000 / denom`` (clownresampler.h:1025) in int32 arithmetic.
 
-    0x80000000 does not fit in int32, so split the division:
-      floor(2^31/m) = 2*floor(2^30/m) + floor(2*(2^30 mod m) / m)   (m > 0)
-    and apply the C trunc-toward-zero sign rule for negative denominators.
     Requires |denom| >= 2 so the quotient fits int32; every realisable kernel
     window sum satisfies this (it is ~65536 * kernel_scale).
+
+    Integer division lowers to a long scalar sequence on TPU (measured ~6x
+    the cost of this formulation at 8k lanes, benchmarks/RESULTS.md), so the
+    exact quotient is built float-first: a float32 estimate, two Newton
+    residual corrections, then a +-3 integer cleanup. Exactness argument:
+    the estimate's absolute error is <= q*2^-22 + 1 <= 257 (q <= 2^30);
+    the residual r = 2^31 - q*m is computed EXACTLY in wraparound int32
+    (|r_true| <= 258*m < 2^31 after step one), each correction divides the
+    error by ~2^22, and the final where-steps absorb the last +-3 even if
+    the hardware's f32 divide is a couple of ulps off correctly-rounded.
+    Verified exhaustively over m in [2, 2^28] against the integer-division
+    formulation on TPU (tools/verify_reciprocal.py) and against int64
+    division in tests/test_fixedpoint.py.
     """
     m = jnp.abs(denom)
-    m_safe = jnp.maximum(m, 1)  # avoid div-by-zero traps; C would UB anyway
-    q0 = jnp.int32(1 << 30) // m_safe
-    r0 = jnp.int32(1 << 30) - q0 * m_safe
-    q = q0 * 2 + (r0 * 2) // m_safe
+    m_safe = jnp.maximum(m, 2)  # avoid div-by-zero traps; C would UB anyway
+    mf = m_safe.astype(jnp.float32)
+    q = (jnp.float32(2.0 ** 31) / mf).astype(jnp.int32)
+    r = jnp.int32(-(2 ** 31)) - q * m_safe      # 2^31 - q*m, exact mod 2^32
+    for _ in range(2):                          # Newton residual corrections
+        dq = (r.astype(jnp.float32) / mf).astype(jnp.int32)
+        q = q + dq
+        r = r - dq * m_safe
+    for _ in range(3):                          # final exact cleanup
+        q = jnp.where(r < 0, q - 1, q)
+        r = jnp.where(r < 0, r + m_safe, r)
+        q = jnp.where(r >= m_safe, q + 1, q)
+        r = jnp.where(r >= m_safe, r - m_safe, r)
     return jnp.where(denom < 0, -q, q)
 
 

@@ -231,6 +231,7 @@ def resample_scan_fused(
     radius: int,
     increment: int,      # static 16.16 increment: selects the kernel class
     interpret: bool = False,
+    table_strided=None,  # KernelModel.strided_table(step, max_taps): fast LUT rows
 ):
     """resample_scan with the fastest kernel for ``increment`` as the engine.
 
@@ -268,6 +269,7 @@ def resample_scan_fused(
             out, _ = resample_uniform_lanes_tiled(
                 table, buffer, st, max_taps=max_taps, n_out=n_out,
                 d=plan["d"], cand=plan["cand"], interpret=interpret,
+                table_strided=table_strided,
             )
             return out
     elif plan["kernel"] == "strided":
@@ -309,7 +311,7 @@ def resample_scan_fused(
         def engine(buffer, st):
             out, _ = resample_uniform_lanes_general(
                 table, buffer, st, max_taps=max_taps, n_out=n_out,
-                interpret=interpret,
+                interpret=interpret, table_strided=table_strided,
             )
             return out
 
@@ -499,6 +501,7 @@ class LowLevelResampler:
             resample_uniform_lanes_general,
             resample_uniform_lanes_tiled,
             strided_phase_padding,
+            strided_table_device,
             window_rows_needed,
         )
 
@@ -522,6 +525,10 @@ class LowLevelResampler:
             rows_budget = 16384
             rows_per_tile = rows_budget - 2 * (self._max_taps // 2) - slack
             max_tile_frames = max(64, (rows_per_tile << 16) // self.increment - 8)
+            tstr = strided_table_device(
+                self.model.radius, self.model.resolution,
+                self.config.kernel_step_size, self._max_taps,
+            )
 
         chunks = []
         done = 0
@@ -556,7 +563,7 @@ class LowLevelResampler:
                 if plan["kernel"] == "tiled":
                     out, _ = resample_uniform_lanes_tiled(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
-                        d=plan["d"], cand=plan["cand"],
+                        d=plan["d"], cand=plan["cand"], table_strided=tstr,
                     )
                 elif plan["kernel"] == "strided":
                     choice = choose_strided_plan(rows, plan["d"], n_pad)
@@ -576,6 +583,7 @@ class LowLevelResampler:
                 else:
                     out, _ = resample_uniform_lanes_general(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                        table_strided=tstr,
                     )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             else:

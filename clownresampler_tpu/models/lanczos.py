@@ -50,6 +50,22 @@ class KernelModel:
     def table(self) -> np.ndarray:
         return lanczos_kernel_table(self.radius, self.resolution)
 
+    def strided_table(self, step: int, max_taps: int) -> np.ndarray:
+        """(2*step + 2, max_taps) row-gather layout of the LUT for a launch
+        at kernel_step_size ``step``: row s is the tap vector starting at
+        LUT index s, i.e. entry [s, j] = table[clip(s + j*step)].
+
+        The per-frame tap gather (clownresampler.h:1008, index kernel_start
+        + j*step) then becomes a single whole-row take at kernel_start —
+        ~50x faster than the (n_out, taps) element gather on TPU
+        (benchmarks/RESULTS.md). kernel_start <= 2*step for every accepted
+        config (start = (step*((min_rel<<16) - frac))>>16 with the numerator
+        < 2^17 by the delta < 1.0 invariant, clownresampler.h:980), so
+        2*step + 2 rows cover the domain with one clip-safety row.
+        Out-of-range entries clip to the table end exactly like the flat
+        gather's index clip (they are always masked by the taps count)."""
+        return _strided_kernel_table(self.radius, self.resolution, step, max_taps)
+
 
 def _lanczos(x: float, radius: float) -> float:
     """L(x) = sinc(x) * sinc(x/R) evaluated exactly like the C routine
@@ -61,6 +77,16 @@ def _lanczos(x: float, radius: float) -> float:
     return (math.sin(x_times_pi) * math.sin(x_times_pi_divided_by_radius)) / (
         x_times_pi * x_times_pi_divided_by_radius
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _strided_kernel_table(radius: int, resolution: int, step: int,
+                          max_taps: int) -> np.ndarray:
+    table = lanczos_kernel_table(radius, resolution)
+    s = np.arange(2 * step + 2, dtype=np.int64)[:, None]
+    j = np.arange(max_taps, dtype=np.int64)[None, :]
+    idx = np.clip(s + j * step, 0, table.shape[0] - 1)
+    return np.ascontiguousarray(table[idx])
 
 
 @functools.lru_cache(maxsize=None)

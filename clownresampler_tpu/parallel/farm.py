@@ -82,25 +82,27 @@ class ShardedStreamFarm(UniformStreamFarm):
         assert lane_splits == 1
         plans = tuple(plan for *_, plan in specs)
         states = tuple(state for _, _, state, _ in specs)
+        tstrs = self._spec_tstr(specs)
         fn = self._launch_cache.get(plans)
         if fn is None:
             mesh = self.mesh
             interpret = self.interpret
 
-            def per_shard(table, x_local, sts):
+            def per_shard(table, x_local, sts, ts):
                 return multi_resample(
                     table, (x_local,) * len(plans), sts, plans,
-                    interpret=interpret,
+                    interpret=interpret, tstrs=ts,
                 )
 
             state_specs = jax.tree.map(lambda _: P(), states)
+            tstr_specs = jax.tree.map(lambda _: P(), tstrs)
             fn = jax.jit(shard_map(
                 per_shard,
                 mesh=mesh,
-                in_specs=(P(), P(None, "dp"), state_specs),
+                in_specs=(P(), P(None, "dp"), state_specs, tstr_specs),
                 out_specs=tuple(P(None, "dp") for _ in plans),
                 check_vma=False,
             ))
             self._launch_cache[plans] = fn
-        outs = list(fn(self._table, self._staging[0], states))
+        outs = list(fn(self._table, self._staging[0], states, tstrs))
         return self._collect_parts(specs, outs, 1)

@@ -132,3 +132,29 @@ def test_positions_from_state():
         t = f0 + np.arange(1000, dtype=np.int64) * inc
         np.testing.assert_array_equal(np.asarray(pos), p0 + (t >> 16))
         np.testing.assert_array_equal(np.asarray(frac), t & 0xFFFF)
+
+
+def test_reciprocal_q31_float_first_edges():
+    """The float-first exact-division formulation vs int64 division over the
+    realisable domain edges and a dense random sample (the full [2, 2^28]
+    domain is swept on hardware by tools/verify_reciprocal.py)."""
+    import numpy as np
+
+    from clownresampler_tpu import fixedpoint as fx
+
+    edges = [2, 3, 4, 5, 7, 2**16 - 1, 2**16, 2**16 + 1, 3 * 2**16,
+             2**24 - 1, 2**24, 2**24 + 1, 2**28 - 1, 2**28]
+    rng = np.random.default_rng(5)
+    m = np.concatenate([
+        np.asarray(edges, np.int64),
+        rng.integers(2, 1 << 28, 1 << 16).astype(np.int64),
+    ])
+    for sign in (1, -1):
+        denom = (sign * m).astype(np.int32)
+        got = np.asarray(fx.reciprocal_q31(jnp.asarray(denom)))
+        want = np.where(
+            denom < 0,
+            -((np.int64(1) << 31) // m),
+            (np.int64(1) << 31) // m,
+        ).astype(np.int32)
+        np.testing.assert_array_equal(got, want, err_msg=f"sign={sign}")

@@ -326,3 +326,45 @@ def test_multi_resample_lane_split_specs():
         interpret=True)
     got = np.concatenate([np.asarray(p) for p in parts], axis=1)
     np.testing.assert_array_equal(got, np.asarray(full))
+
+
+def test_strided_table_rowgather_matches_flat():
+    """precompute with KernelModel.strided_table (the fast row-gather LUT
+    layout) must be bit-identical to the flat-table gather across kernel
+    classes, fracs, and the clip edges."""
+    from clownresampler_tpu.models import DEFAULT_MODEL
+    from clownresampler_tpu.ops.pallas_resample import precompute_launch
+
+    table = jnp.asarray(lanczos_kernel_table())
+    for in_rate, out_rate in [(48000, 44100), (8000, 44100), (44100, 8000),
+                              (44100, 7000), (96000, 48000)]:
+        cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+        inc = fx.calculate_ratio(in_rate, out_rate)
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        tstr = jnp.asarray(
+            DEFAULT_MODEL.strided_table(cfg.kernel_step_size, max_taps))
+        for f0 in (0, 1, 0x4321, 0xFFFF):
+            state = make_device_state(0, f0, cfg, inc)
+            flat = precompute_launch(table, state, max_taps=max_taps, n_out=256)
+            fast = precompute_launch(table, state, max_taps=max_taps, n_out=256,
+                                     table_strided=tstr)
+            for a, b in zip(flat, fast):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"{in_rate}->{out_rate} f0={f0}")
+
+
+def test_tiled_kernel_with_strided_table():
+    """End-to-end: the tiled kernel fed the row-gather table == the oracle."""
+    from clownresampler_tpu.models import DEFAULT_MODEL
+
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg, inc, state, max_taps, x = _setup(48000, 44100, seed=7)
+    plan = plan_uniform(inc, 64)
+    tstr = jnp.asarray(DEFAULT_MODEL.strided_table(cfg.kernel_step_size, max_taps))
+    want = np.asarray(_oracle(table, x, state, max_taps, 64))
+    got, _ = resample_uniform_lanes_tiled(
+        table, x, state, max_taps=max_taps, n_out=64,
+        d=plan["d"], cand=plan["cand"], interpret=True, table_strided=tstr,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
