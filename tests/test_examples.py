@@ -68,3 +68,15 @@ def test_cli_usage_error():
     )
     assert r.returncode == 2
     assert "in.wav out.wav" in r.stderr
+
+
+def test_multichip_farm_example():
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "examples/multichip_farm.py", "128"],
+        cwd=REPO, capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "sharded farm: 128 streams" in r.stdout
+    assert "per-stream adjust" in r.stdout
