@@ -316,6 +316,7 @@ def run_config(which: str) -> None:
                 tuple(si for _, si, _, _ in specs),
                 tuple(st for _, _, st, _ in specs),
                 tuple(p for *_, p in specs),
+                farm._spec_tstr(specs),
             ))
             total_samples += sum(
                 p[4] * farm._lane_slices[si][0] for _, si, _, p in specs
@@ -325,9 +326,10 @@ def run_config(which: str) -> None:
             jnp.asarray(farm._staging),)
 
         def body(xs):
-            for sidx, states_r, plans_r in prepared:  # unrolled 8-rate sweep
+            for sidx, states_r, plans_r, tstrs_r in prepared:  # unrolled sweep
                 outs = multi_resample(
-                    farm._table, tuple(xs[si] for si in sidx), states_r, plans_r)
+                    farm._table, tuple(xs[si] for si in sidx), states_r, plans_r,
+                    tstrs=tstrs_r)
                 new = list(xs)
                 for k, si in enumerate(sidx):
                     new[si] = new[si].at[0, 0].add(outs[k][0, 0] & 1)
