@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any
 
 import numpy as np
+import jax.numpy as jnp
 
 from clownresampler_tpu.configure import Configuration
 from clownresampler_tpu.farm import UniformStreamFarm
@@ -119,7 +120,9 @@ def save_farm(farm: UniformStreamFarm) -> dict[str, Any]:
     }
 
 
-def load_farm(d: dict[str, Any]) -> UniformStreamFarm:
+def load_farm(d: dict[str, Any], mesh=None) -> UniformStreamFarm:
+    """Restore a farm. Pass ``mesh`` to restore as a ShardedStreamFarm
+    (lane-sharded over the mesh's dp axis); the lane count must tile it."""
     assert d["kind"] == "farm"
     farm = UniformStreamFarm.__new__(UniformStreamFarm)
     farm.n_streams = d["n_streams"]
@@ -154,4 +157,60 @@ def load_farm(d: dict[str, Any]) -> UniformStreamFarm:
     else:
         farm._staging = staging
     farm._fill = d["fill"]
+    farm._pending_slide = None
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from clownresampler_tpu.parallel.farm import ShardedStreamFarm
+
+        sh = ShardedStreamFarm.__new__(ShardedStreamFarm)
+        sh.__dict__.update(farm.__dict__)
+        sh.mesh = mesh
+        sh._dp = mesh.shape["dp"]
+        assert sh._lanes % sh._dp == 0, "lane count must tile the dp axis"
+        sh._lane_slices = [(sh._lanes, 0)]
+        sh._device_staging = True
+        sh._sharding = NamedSharding(mesh, P(None, "dp"))
+        sh._staging = (jax.device_put(jnp.asarray(staging), sh._sharding),)
+        sh._launch_cache = {}
+        return sh
+    return farm
+
+
+def save_mixed_farm(farm) -> dict[str, Any]:
+    """Serialise a MixedStreamFarm: each group's uniform farm plus its
+    member slots (None = lane slot vacated by adjust_stream)."""
+    return {
+        "kind": "mixed_farm",
+        "n_streams": farm.n_streams,
+        "channels": farm.channels,
+        "chunk_frames": farm.chunk_frames,
+        "interpret": farm.interpret,
+        "max_radius": farm.max_radius,
+        "clamp_s16": farm.clamp_s16,
+        "model_radius": farm.model.radius,
+        "model_resolution": farm.model.resolution,
+        "groups": [
+            {"farm": save_farm(f), "members": list(members)}
+            for f, members in farm._groups
+        ],
+    }
+
+
+def load_mixed_farm(d: dict[str, Any]):
+    assert d["kind"] == "mixed_farm"
+    from clownresampler_tpu.farm import MixedStreamFarm
+
+    farm = MixedStreamFarm.__new__(MixedStreamFarm)
+    farm.n_streams = d["n_streams"]
+    farm.channels = d["channels"]
+    farm.chunk_frames = d["chunk_frames"]
+    farm.interpret = d["interpret"]
+    farm.max_radius = d["max_radius"]
+    farm.clamp_s16 = d.get("clamp_s16", False)
+    farm.model = KernelModel(d["model_radius"], d["model_resolution"])
+    farm._groups = [
+        [load_farm(g["farm"]), list(g["members"])] for g in d["groups"]
+    ]
     return farm

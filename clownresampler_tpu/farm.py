@@ -504,13 +504,14 @@ class MixedStreamFarm:
 
     def __init__(self, specs, channels: int, chunk_frames: int = 4096,
                  model: KernelModel = DEFAULT_MODEL, interpret: bool = False,
-                 max_radius: Optional[int] = None):
+                 max_radius: Optional[int] = None, clamp_s16: bool = False):
         self.channels = channels
         self.n_streams = len(specs)
         self.chunk_frames = chunk_frames
         self.model = model
         self.interpret = interpret
         self.max_radius = max_radius
+        self.clamp_s16 = clamp_s16
         # [(farm, members)]: members[j] is the stream id occupying the farm's
         # lane slot j, or None for a slot vacated by adjust_stream (fed zeros,
         # its output discarded). Groups are identified by position, not ratio:
@@ -529,6 +530,7 @@ class MixedStreamFarm:
                     sum(1 for k in norm if k == key), channels, *key,
                     chunk_frames=chunk_frames, model=model,
                     interpret=interpret, max_radius=max_radius,
+                    clamp_s16=clamp_s16,
                 )
                 by_key[key] = len(self._groups)
                 self._groups.append([farm, []])
@@ -571,6 +573,7 @@ class MixedStreamFarm:
             1, self.channels, input_rate, output_rate, low_pass_rate,
             chunk_frames=self.chunk_frames, model=self.model,
             interpret=self.interpret, max_radius=farm._radius_bound,
+            clamp_s16=self.clamp_s16,
         )
         assert solo._capacity == farm._capacity, "capacity drift between farms"
         solo.position_integer = farm.position_integer

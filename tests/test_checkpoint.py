@@ -93,3 +93,61 @@ def test_lowlevel_roundtrip_preserves_model():
     _, _, out_a = a.resample(padded, 200)
     _, _, out_b = b.resample(padded, 200)
     np.testing.assert_array_equal(out_a, out_b)
+
+
+def test_mixed_farm_checkpoint_resume():
+    """Mixed-farm save/restore continues bit-identically, incl. a stream
+    split off by adjust_stream."""
+    import numpy as np
+
+    from clownresampler_tpu.checkpoint import load_mixed_farm, save_mixed_farm
+    from clownresampler_tpu.farm import MixedStreamFarm
+
+    rng = np.random.default_rng(51)
+    ch, chunk = 2, 256
+    specs = [(48000, 44100), (48000, 44100), (8000, 44100)]
+    data = [rng.integers(-32768, 32768, size=(3 * chunk, ch)).astype(np.int16)
+            for _ in specs]
+
+    a = MixedStreamFarm(specs, ch, chunk_frames=chunk, interpret=True, max_radius=8)
+    a.process([d[:chunk] for d in data])
+    assert a.adjust_stream(1, 96000, 48000)
+
+    b = load_mixed_farm(save_mixed_farm(a))
+    out_a, out_b = [], []
+    for farm, sink in ((a, out_a), (b, out_b)):
+        for k in (1, 2):
+            sink.append(farm.process([d[k * chunk : (k + 1) * chunk] for d in data]))
+        sink.append(farm.flush())
+    for step_a, step_b in zip(out_a, out_b):
+        for ra, rb in zip(step_a, step_b):
+            np.testing.assert_array_equal(ra, rb)
+
+
+def test_sharded_farm_checkpoint_resume():
+    """A farm checkpoint restores onto a device mesh (ShardedStreamFarm) and
+    continues bit-identically to the unsharded restore."""
+    import numpy as np
+
+    from clownresampler_tpu.checkpoint import load_farm, save_farm
+    from clownresampler_tpu.farm import UniformStreamFarm
+    from clownresampler_tpu.parallel import ShardedStreamFarm, make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(53)
+    n_streams, ch, chunk = 512, 2, 256
+    chunks = [rng.integers(-32768, 32768, (n_streams, chunk, ch)).astype(np.int16)
+              for _ in range(2)]
+    a = ShardedStreamFarm(mesh, n_streams, ch, 48000, 44100,
+                          chunk_frames=chunk, interpret=True)
+    a.process(chunks[0])
+    snap = save_farm(a)
+    b = load_farm(snap, mesh=mesh)
+    assert isinstance(b, ShardedStreamFarm)
+    c = load_farm(snap)  # plain single-device restore of the same snapshot
+    c.interpret = True
+    c._device_staging = False
+    c._staging = np.array(snap["staging"], dtype=np.int32)
+    ra = np.concatenate([a.process(chunks[1]), a.flush()], axis=1)
+    rb = np.concatenate([b.process(chunks[1]), b.flush()], axis=1)
+    np.testing.assert_array_equal(rb, ra)

@@ -319,3 +319,22 @@ def test_mixed_farm_adjust_stream_rejects_and_rolls_back():
     np.testing.assert_array_equal(
         np.concatenate(res, axis=0).reshape(2, -1, ch)[0], b[0],
         err_msg="post-reject chunk")
+
+
+def test_mixed_farm_clamp_s16():
+    from clownresampler_tpu.farm import MixedStreamFarm
+
+    rng = np.random.default_rng(47)
+    ch, chunk = 1, 256
+    specs = [(48000, 44100), (8000, 44100)]
+    data = [rng.integers(-32768, 32768, size=(chunk, ch)).astype(np.int16)
+            for _ in specs]
+    wide = MixedStreamFarm(specs, ch, chunk_frames=chunk, interpret=True)
+    clamped = MixedStreamFarm(specs, ch, chunk_frames=chunk, interpret=True,
+                              clamp_s16=True)
+    a = wide.process(data)
+    b = clamped.process(data)
+    for i in range(2):
+        assert b[i].dtype == np.int16
+        np.testing.assert_array_equal(
+            b[i], np.clip(a[i], -0x7FFF, 0x7FFF).astype(np.int16))
