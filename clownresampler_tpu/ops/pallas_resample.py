@@ -106,13 +106,22 @@ def precompute_launch(table, state: DeviceState, *, max_taps: int, n_out: int,
 
 
 @functools.lru_cache(maxsize=None)
-def strided_table_device(radius: int, resolution: int, step: int, max_taps: int):
-    """Device-resident KernelModel.strided_table, cached per config so hot
-    paths pay the (tiny) host->device transfer once per process."""
+def _strided_table_dev(backend: str, radius: int, resolution: int, step: int,
+                       max_taps: int):
     from clownresampler_tpu.models import KernelModel
 
     return jnp.asarray(
         KernelModel(radius, resolution).strided_table(step, max_taps)
+    )
+
+
+def strided_table_device(radius: int, resolution: int, step: int, max_taps: int):
+    """Device-resident KernelModel.strided_table, cached per config so hot
+    paths pay the (tiny) host->device transfer once per process. Keyed by
+    the active backend: dryrun_multichip / the test conftest re-point JAX at
+    a virtual CPU mesh mid-process, which invalidates earlier device arrays."""
+    return _strided_table_dev(
+        jax.default_backend(), radius, resolution, step, max_taps
     )
 
 
