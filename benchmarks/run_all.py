@@ -263,9 +263,6 @@ def run_config(which: str) -> None:
         )
 
         n_sub, split = 4, 256
-        bodies = [make_body(8000, 48000, split) for _ in range(n_sub)]
-        xs0 = tuple(b[1] for b in bodies)
-        # rebuild as one fused program over the sub-fleets
         from clownresampler_tpu import fixedpoint as fx
         from clownresampler_tpu.configure import configure
         from clownresampler_tpu.lowlevel import make_device_state
@@ -273,7 +270,13 @@ def run_config(which: str) -> None:
         inc = fx.calculate_ratio(8000, 48000)
         plan = plan_uniform(inc, n_out_default)
         taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        s3 = ((n_out_default * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
+        s3 = -(-s3 // 16) * 16
+        xs0 = tuple(jnp.asarray(
+            rng.integers(-32768, 32768, size=(s3, split)).astype(np.int32))
+            for _ in range(n_sub))
         state = make_device_state(0, 0x4321, cfg, inc)
+        jax.block_until_ready(xs0)
         plans = tuple((plan["kernel"], plan["d"], plan["cand"], taps,
                        n_out_default, False) for _ in range(n_sub))
         states = tuple(state for _ in range(n_sub))

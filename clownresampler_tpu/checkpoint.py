@@ -168,7 +168,14 @@ def load_farm(d: dict[str, Any], mesh=None) -> UniformStreamFarm:
         sh.__dict__.update(farm.__dict__)
         sh.mesh = mesh
         sh._dp = mesh.shape["dp"]
-        assert sh._lanes % sh._dp == 0, "lane count must tile the dp axis"
+        from clownresampler_tpu.farm import LANES as _LANES
+
+        if sh._lanes % (_LANES * sh._dp) != 0:
+            raise ValueError(
+                f"snapshot has {sh._lanes} lanes, which does not tile the "
+                f"{sh._dp}-device dp axis into whole {_LANES}-lane kernel "
+                f"tiles; restore without a mesh or use a compatible mesh"
+            )
         sh._lane_slices = [(sh._lanes, 0)]
         sh._device_staging = True
         sh._sharding = NamedSharding(mesh, P(None, "dp"))

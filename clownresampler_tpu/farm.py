@@ -139,14 +139,29 @@ class UniformStreamFarm:
             slack = 96 + window_rows_needed(self._max_taps, 1, 8) + 3 * radius_bound
             # Polyphase strided launches (integer-stride ratios, possibly via
             # adjust) over-read d*(w_load + 8) rows past the last frame's
-            # window plus up to 255 grain-padding frames x d rows; reserve
-            # for every stride this farm's radius bound can reach
-            # (d <= kernel_scale <= radius_bound / model.radius).
-            for dd in range(2, max(1, radius_bound // model.radius) + 2):
-                slack = max(
-                    slack,
+            # window plus up to 255 grain-padding frames x d rows. Reserve for
+            # the strides this farm can actually reach — a stride-d ratio has
+            # kernel_scale >= d, so its radius is >= model.radius * d and
+            # adjust accepts it only while model.radius * d <= radius_bound —
+            # and only while the reservation keeps the staging buffer inside
+            # the VMEM-safe row budget (otherwise it would push EVERY kind,
+            # including tiled/general, onto the gather oracle; strided
+            # launches that then lack the over-read padding downgrade to the
+            # XLA path per-launch in _launch_specs instead).
+            strided_slack = 0
+            for dd in range(2, radius_bound // model.radius + 1):
+                strided_slack = max(
+                    strided_slack,
                     96 + 256 * dd + strided_phase_padding(self._max_taps, dd, 32),
                 )
+            base_capacity = 2 * radius_bound + chunk_frames + slack
+            if (
+                strided_slack > slack
+                and base_capacity <= VMEM_SAFE_INPUT_ROWS
+                and 2 * radius_bound + chunk_frames + strided_slack
+                <= VMEM_SAFE_INPUT_ROWS
+            ):
+                slack = strided_slack
         self._capacity = radius_bound + chunk_frames + radius_bound + slack
 
         # Lane splits: wide fleets stage into INDEPENDENT <=LANE_SPLIT-wide
@@ -265,13 +280,34 @@ class UniformStreamFarm:
             step = MAX_LAUNCH_OUTPUT_FRAMES
         # Padding granularity per kernel: tiled needs 8*group=64, the general
         # kernel needs 128, the polyphase strided kernels 8*group=256 (the
-        # fastest measured group), the oracle only 8.
-        grain = {"tiled": 64, "strided": 256, "general": 128, "oracle": 8}[kind]
+        # fastest measured group), the XLA strided path and the oracle only 8.
+        grain = {"tiled": 64, "strided": 256, "strided_xla": 8,
+                 "general": 128, "oracle": 8}[kind]
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
         # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
         # before the data, so shift launch positions by the difference when
         # the current radius is narrower than the reserved bound.
         halo_shift = self._radius_bound - self.config.integer_stretched_kernel_radius
+
+        if kind == "strided":
+            # The polyphase kernels over-read strided_phase_padding rows past
+            # the last frame's window; if the staging buffer (whose slack may
+            # not have been reserved for this stride — see __init__) cannot
+            # honour that contract for the WORST launch of this emit,
+            # downgrade to the XLA strided path, which only reads the frame
+            # span. Worst case: the final frame tile.
+            last_done = max(0, n_out - step) if n_out > step else 0
+            worst_tile = n_out - last_done
+            n_pad_w = fx.round_up(max(worst_tile, grain), grain)
+            t_w = self.position_fractional + last_done * self.increment
+            p0_w = self.position_integer + (t_w >> 16) + halo_shift
+            need = (
+                p0_w + 1 + (n_pad_w - 256) * d
+                + strided_phase_padding(self._max_taps, d, 32)
+            )
+            if need > self._capacity:
+                kind = "strided_xla"
+                grain = 8
 
         specs = []
         done = 0

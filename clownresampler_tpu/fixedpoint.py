@@ -124,11 +124,14 @@ def reciprocal_q31(denom):
     the cost of this formulation at 8k lanes, benchmarks/RESULTS.md), so the
     exact quotient is built float-first: a float32 estimate, two Newton
     residual corrections, then a +-3 integer cleanup. Exactness argument:
-    the estimate's absolute error is <= q*2^-22 + 1 <= 257 (q <= 2^30);
-    the residual r = 2^31 - q*m is computed EXACTLY in wraparound int32
-    (|r_true| <= 258*m < 2^31 after step one), each correction divides the
-    error by ~2^22, and the final where-steps absorb the last +-3 even if
-    the hardware's f32 divide is a couple of ulps off correctly-rounded.
+    the estimate's absolute error is err <= q*2^-22 + 1 (q <= 2^30, so up
+    to 257 in the small-m extreme); the residual r = 2^31 - q*m is computed
+    EXACTLY in wraparound int32 because |r_true| <= err*m <= (q*m)*2^-22 + m
+    <= 2^31*2^-22 + m = 512 + m < 2^31 for every m < 2^31 - 512 (the error
+    term scales as q*2^-22 while m scales inversely with q, so their product
+    stays bounded by ~2^9); each correction divides the error by ~2^22, and
+    the final where-steps absorb the last +-3 even if the hardware's f32
+    divide is a couple of ulps off correctly-rounded.
     Verified exhaustively over m in [2, 2^28] against the integer-division
     formulation on TPU (tools/verify_reciprocal.py) and against int64
     division in tests/test_fixedpoint.py.

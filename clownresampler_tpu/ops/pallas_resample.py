@@ -860,8 +860,12 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
                 clamp_s16=clamp, interpret=interpret,
                 lanes=lanes, lane_offset=lane_offset, table_strided=tstr,
             )
-        elif kind == "strided":
-            choice = choose_strided_plan(x.shape[0], d, n_out)
+        elif kind in ("strided", "strided_xla"):
+            # "strided_xla" is an explicit caller downgrade (e.g. the farm's
+            # staging buffer lacks the polyphase over-read padding); "strided"
+            # picks the fastest variant the shapes allow.
+            choice = (None if kind == "strided_xla"
+                      else choose_strided_plan(x.shape[0], d, n_out))
             if choice is None:
                 out, _ = resample_integer_stride(
                     table, x, st, max_taps=max_taps, n_out=n_out, d=d,

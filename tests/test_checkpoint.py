@@ -150,4 +150,6 @@ def test_sharded_farm_checkpoint_resume():
     c._staging = np.array(snap["staging"], dtype=np.int32)
     ra = np.concatenate([a.process(chunks[1]), a.flush()], axis=1)
     rb = np.concatenate([b.process(chunks[1]), b.flush()], axis=1)
+    rc = np.concatenate([c.process(chunks[1]), c.flush()], axis=1)
     np.testing.assert_array_equal(rb, ra)
+    np.testing.assert_array_equal(rc, ra)

@@ -338,3 +338,44 @@ def test_mixed_farm_clamp_s16():
         assert b[i].dtype == np.int16
         np.testing.assert_array_equal(
             b[i], np.clip(a[i], -0x7FFF, 0x7FFF).astype(np.int16))
+
+
+def test_farm_large_max_radius_keeps_fast_kernel():
+    """Regression: the strided-slack reservation must not balloon capacity
+    past the VMEM budget and silently reroute every launch to the gather
+    oracle (round-2 advisor finding)."""
+    from clownresampler_tpu.farm import VMEM_SAFE_INPUT_ROWS
+
+    farm = UniformStreamFarm(4, 2, 48000, 44100, chunk_frames=4096,
+                             interpret=True, max_radius=30)
+    assert farm._capacity <= VMEM_SAFE_INPUT_ROWS
+    specs, _ = farm._launch_specs(256)
+    assert specs[0][3][0] == "tiled", specs[0][3]
+
+
+def test_farm_strided_xla_downgrade_bit_exact():
+    """A strided farm whose staging lacks the polyphase over-read padding
+    downgrades to the XLA path (kind strided_xla) and stays bit-exact."""
+    rng = np.random.default_rng(59)
+    ch, chunk = 2, 512
+    data = rng.integers(-32768, 32768, size=(3, 2 * chunk, ch)).astype(np.int16)
+
+    farm = UniformStreamFarm(3, ch, 96000, 48000, chunk_frames=chunk,
+                             interpret=True)
+    # Sabotage the reserved slack so the phases contract cannot hold: shrink
+    # the staging buffer to the bare strided-XLA requirement.
+    specs, _ = farm._launch_specs(chunk // 2)
+    assert specs[0][3][0] == "strided"      # normally the polyphase kernels
+    import numpy as _np
+    cap = farm._capacity
+    farm._capacity = 2 * farm._radius_bound + chunk + farm._max_taps + 32
+    farm._staging = _np.zeros((farm._capacity, farm._lanes), _np.int32)
+    specs, _ = farm._launch_specs(chunk // 2)
+    assert specs[0][3][0] == "strided_xla", specs[0][3]
+
+    outs = [farm.process(data[:, :chunk]), farm.process(data[:, chunk:]),
+            farm.flush()]
+    got = np.concatenate(outs, axis=1)
+    for i in range(3):
+        want = _host_reference(data[i], ch, 96000, 48000, 96000)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"stream {i}")
