@@ -10,6 +10,7 @@ Configs (BASELINE.json):
   4b. the pitch-bend farm end-to-end incl. host transfers (tunnel-bound)
   5.  1024-stream mixed-ratio stereo transcode farm (one fused program)
   6.  wide non-integer downsample 44.1k->8k (general kernel)
+  7.  fused whole-stream scan 44.1k->8k (one lax.scan, zero host round-trips)
 
 Methodology: the K-SLOPE CHAIN (see bench.py docstring): K kernel iterations
 chained inside one jitted lax.scan with data feedback (x[0,0] += out[0,0]&1),
@@ -37,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6"]
+CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7"]
 
 K1, K2 = 8, 40
 
@@ -446,6 +447,61 @@ def run_config(which: str) -> None:
         dt = _kslope(body, xs0)
         _report("config6 stereo 44.1k->8k x1024 streams (general kernel, 4 packed sub-launches)",
                 n_sub * sub_frames * lanes, dt, 27.0)
+
+    elif which == "7":
+        # fused whole-stream scan (resample_scan_fused): the entire chunked
+        # stream pipeline — halo carry, natural counts, position carry — as
+        # ONE lax.scan on device, any ratio class (VERDICT r1 item 4's
+        # 44.1k->8k case: general kernel, ~40 taps). Scan steps serialize by
+        # construction, so the K-slope is over the CHUNK COUNT.
+        from clownresampler_tpu import fixedpoint as fx
+        from clownresampler_tpu.configure import configure
+        from clownresampler_tpu.lowlevel import make_device_state, resample_scan_fused
+        from clownresampler_tpu.models import DEFAULT_MODEL
+        from clownresampler_tpu.ops.pallas_resample import strided_table_device
+
+        in_rate, out_rate, lanes, n_in = 44100, 8000, 2048, 8192
+        cfg = configure(in_rate, out_rate, in_rate)
+        inc = fx.calculate_ratio(in_rate, out_rate)
+        radius = cfg.integer_stretched_kernel_radius
+        taps = -(-2 * radius // 8) * 8
+        n_cap = -(-(((n_in + 2 * radius) << 16) // inc + 8) // 128) * 128
+        tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                                    cfg.kernel_step_size, taps)
+        state = make_device_state(0, 0, cfg, inc)
+
+        def run_k(k):
+            chunks = jnp.asarray(rng.integers(
+                -32768, 32768, size=(k, n_in, lanes)).astype(np.int16))
+            jax.block_until_ready(chunks)
+
+            @jax.jit
+            def go(ch, st):
+                outs, produced, st2, backlog = resample_scan_fused(
+                    table, ch, st, max_taps=taps, n_out=n_cap, radius=radius,
+                    increment=inc, table_strided=tstr)
+                return outs[-1, 0, 0], jnp.sum(produced), backlog
+
+            r = go(chunks, state)
+            jax.block_until_ready(r)
+            best, produced = None, int(np.asarray(r[1]))
+            assert not bool(np.asarray(r[2])), "scan backlog"
+            for _ in range(4):
+                t0 = time.perf_counter()
+                rr = go(chunks, state)
+                jax.block_until_ready(rr)
+                _ = np.asarray(rr[0])
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best, produced
+
+        k1, k2 = 8, 40
+        t1, p1 = run_k(k1)
+        t2, p2 = run_k(k2)
+        dt_chunk = (t2 - t1) / (k2 - k1)
+        samples_chunk = (p2 - p1) / (k2 - k1) * lanes
+        _report("config7 fused whole-stream scan 44.1k->8k x1024 stereo (one lax.scan, general kernel)",
+                samples_chunk, dt_chunk, 27.0)
 
     else:
         raise SystemExit(f"unknown config {which}")
