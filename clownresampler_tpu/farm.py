@@ -296,7 +296,7 @@ class UniformStreamFarm:
             # honour that contract for the WORST launch of this emit,
             # downgrade to the XLA strided path, which only reads the frame
             # span. Worst case: the final frame tile.
-            last_done = max(0, n_out - step) if n_out > step else 0
+            last_done = ((n_out - 1) // step) * step if n_out > 0 else 0
             worst_tile = n_out - last_done
             n_pad_w = fx.round_up(max(worst_tile, grain), grain)
             t_w = self.position_fractional + last_done * self.increment
