@@ -368,3 +368,39 @@ def test_tiled_kernel_with_strided_table():
         d=plan["d"], cand=plan["cand"], interpret=True, table_strided=tstr,
     )
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_strided_phases_random_fuzz():
+    """Random integer strides, initial phases, and low-pass stretches through
+    both polyphase kernels vs the oracle (complements the curated ratios)."""
+    table = jnp.asarray(lanczos_kernel_table())
+    rng = np.random.default_rng(71)
+    n_out = 64
+    for _ in range(10):
+        d = int(rng.integers(2, 17))
+        out_rate = int(rng.integers(500, 4000))
+        in_rate = d * out_rate
+        # lpf below out_rate stretches the kernel (more taps, smaller step)
+        lpf = int(rng.integers(max(200, out_rate // 3), in_rate))
+        cfg = configure(in_rate, out_rate, lpf)
+        if cfg is None:
+            continue
+        inc = fx.calculate_ratio(in_rate, out_rate)
+        assert inc & 0xFFFF == 0 and (inc >> 16) == d
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        if max_taps > 256:
+            continue  # keep interpret-mode runtime bounded
+        p0 = int(rng.integers(0, 3 * d))
+        f0 = int(rng.integers(0, 1 << 16))
+        state = make_device_state(p0, f0, cfg, inc)
+        s = p0 + (n_out - 64) * d + strided_phase_padding(max_taps, d, 8) + 8
+        s = -(-s // 16) * 16
+        x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
+        want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+        ctx = f"d={d} lpf={lpf} p0={p0} f0={f0} taps={max_taps}"
+        got, _ = resample_strided_phases(
+            table, x, state, max_taps=max_taps, n_out=n_out, d=d, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg="fused " + ctx)
+        got_w, _ = resample_strided_phases_wide(
+            table, x, state, max_taps=max_taps, n_out=n_out, d=d, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_w), want, err_msg="wide " + ctx)
