@@ -540,6 +540,11 @@ class LowLevelResampler:
             if use_fast:
                 tile = min(tile, max_tile_frames)
                 grain = {"tiled": 64, "strided": 256, "general": 128}[plan["kernel"]]
+                if plan["kernel"] == "tiled" and tile >= 1024:
+                    # Bigger frame groups per grid step are ~27% faster for a
+                    # SINGLE launch (fewer per-step latencies); overlapped
+                    # fleet launches prefer the small default (farm paths).
+                    grain = 256
                 n_pad = fx.round_up(tile, grain)
                 # Row window [p0, p0 + rows), zero-padded past the stream end;
                 # positions rebased to the window start. Rows are bucketed to
@@ -564,6 +569,7 @@ class LowLevelResampler:
                     out, _ = resample_uniform_lanes_tiled(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
                         d=plan["d"], cand=plan["cand"], table_strided=tstr,
+                        group=32 if n_pad % 256 == 0 else 8,
                     )
                 elif plan["kernel"] == "strided":
                     choice = choose_strided_plan(rows, plan["d"], n_pad)
