@@ -282,7 +282,7 @@ class UniformStreamFarm:
         # kernel needs 128, the polyphase strided kernels 8*group=256 (the
         # fastest measured group), the XLA strided path and the oracle only 8.
         grain = {"tiled": 64, "strided": 256, "strided_xla": 8,
-                 "general": 128, "oracle": 8}[kind]
+                 "general": 256, "oracle": 8}[kind]
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
         # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
         # before the data, so shift launch positions by the difference when

@@ -312,6 +312,7 @@ def resample_scan_fused(
             out, _ = resample_uniform_lanes_general(
                 table, buffer, st, max_taps=max_taps, n_out=n_out,
                 interpret=interpret, table_strided=table_strided,
+                group=32 if n_out % 256 == 0 else 16,
             )
             return out
 
@@ -540,10 +541,11 @@ class LowLevelResampler:
             if use_fast:
                 tile = min(tile, max_tile_frames)
                 grain = {"tiled": 64, "strided": 256, "general": 128}[plan["kernel"]]
-                if plan["kernel"] == "tiled" and tile >= 1024:
-                    # Bigger frame groups per grid step are ~27% faster for a
-                    # SINGLE launch (fewer per-step latencies); overlapped
-                    # fleet launches prefer the small default (farm paths).
+                if plan["kernel"] in ("tiled", "general") and tile >= 1024:
+                    # Bigger frame groups per grid step are ~27% (tiled) /
+                    # ~12% (general) faster for a SINGLE launch (fewer
+                    # per-step latencies); overlapped fleet TILED launches
+                    # prefer the small default (farm paths).
                     grain = 256
                 n_pad = fx.round_up(tile, grain)
                 # Row window [p0, p0 + rows), zero-padded past the stream end;
@@ -590,6 +592,7 @@ class LowLevelResampler:
                     out, _ = resample_uniform_lanes_general(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
                         table_strided=tstr,
+                        group=32 if n_pad % 256 == 0 else 16,
                     )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             else:

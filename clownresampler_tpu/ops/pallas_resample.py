@@ -351,8 +351,9 @@ def resample_uniform_lanes_general(
     *,
     max_taps: int,
     n_out: int,          # multiple of 128
-    group: int = 16,     # fixed: 16*8 = 128 frames/step so the transposed kv
-                         # block has a 128-lane tile (Mosaic blocking rule)
+    group: int = 16,     # 16*8 = 128 frames/step so the transposed kv block
+                         # has a 128-lane tile (Mosaic blocking rule); 32 is
+                         # also legal (256-lane kv tile)
     clamp_s16: bool = False,
     interpret: bool = False,
     lanes: Optional[int] = None,   # static sub-launch width (default: all of x)
@@ -360,7 +361,7 @@ def resample_uniform_lanes_general(
     table_strided=None,            # KernelModel.strided_table(step, max_taps)
 ):
     """Any-ratio uniform-lane resample (used for increment >= 2^17, lo != 0)."""
-    assert group == 16, "kv block needs a 128-frame grid step"
+    assert group in (16, 32), "kv block needs a 128-lane-multiple grid step"
     s, l = x.shape
     lanes = l if lanes is None else lanes
     assert lanes % LANES == 0 and lane_offset % LANES == 0
@@ -885,6 +886,7 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
                 table, x, st, max_taps=max_taps, n_out=n_out, clamp_s16=clamp,
                 interpret=interpret, lanes=lanes, lane_offset=lane_offset,
                 table_strided=tstr,
+                group=32 if n_out % 256 == 0 else 16,  # ~12% faster steps
             )
         else:  # "oracle": wide-kernel gather fallback (lowlevel.FAST_KERNEL_MAX_TAPS)
             if lanes is not None and (lane_offset != 0 or lanes != x.shape[1]):

@@ -404,3 +404,15 @@ def test_strided_phases_random_fuzz():
         got_w, _ = resample_strided_phases_wide(
             table, x, state, max_taps=max_taps, n_out=n_out, d=d, interpret=True)
         np.testing.assert_array_equal(np.asarray(got_w), want, err_msg="wide " + ctx)
+
+
+def test_general_kernel_group32_bit_exact():
+    """The 256-frame-step variant of the general kernel == the oracle."""
+    table = jnp.asarray(lanczos_kernel_table())
+    n_out = 256
+    cfg, inc, state, max_taps, x = _setup(44100, 8000, n_out=n_out)
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _ = resample_uniform_lanes_general(
+        table, x, state, max_taps=max_taps, n_out=n_out, group=32,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
