@@ -46,13 +46,13 @@ MAX_CHUNK_OUTPUT_FRAMES = 1 << 14
 
 # Width guard for the fused fast paths. The reference accepts any ratio with
 # kernel_scale < 0x1000 (clownresampler.h:974-975), i.e. stretched radius up
-# to 3*4096 and tap windows up to ~24,576 — but the Pallas kernels keep the
-# per-frame window VMEM-resident (power-of-two rows >= taps) and the strided
-# path unrolls one XLA slice per tap, so very wide kernels would blow the VMEM
-# budget / compile forever. Beyond this bound every dispatcher falls back to
-# the XLA gather oracle (ops/convolve.py), which handles the full domain; the
-# fast paths are proven bit-exact and compile-tractable up to it
-# (tests/test_pallas.py, tools/verify_tpu.py).
+# to 3*4096 and tap windows up to ~24,576 — but the Pallas kernels keep their
+# window loads VMEM-resident (power-of-two rows scaling with taps) and the
+# XLA strided fallback unrolls one slice per tap, so very wide kernels would
+# blow the VMEM budget / compile forever. Beyond this bound every dispatcher
+# falls back to the XLA gather oracle (ops/convolve.py), which handles the
+# full domain; the fast paths are proven bit-exact and compile-tractable up
+# to it (tests/test_pallas.py, tools/verify_tpu.py).
 FAST_KERNEL_MAX_TAPS = 1024
 
 
