@@ -73,3 +73,20 @@ def test_sharded_farm_adjust_pitch_bend():
         chunk_frames=chunk, max_radius=8,
     )
     np.testing.assert_array_equal(run(sh_farm), run(ref_farm))
+
+
+def test_sharded_farm_clamp_s16():
+    """clamp_s16 through the shard-mapped launch == clipping the wide farm."""
+    mesh = make_mesh()
+    n_streams, ch, chunk = 512, 1, 256
+    rng = np.random.default_rng(17)
+    data = rng.integers(-32768, 32768, (n_streams, chunk, ch)).astype(np.int16)
+    wide = ShardedStreamFarm(mesh, n_streams, ch, 48000, 44100,
+                             chunk_frames=chunk, interpret=True)
+    clamped = ShardedStreamFarm(mesh, n_streams, ch, 48000, 44100,
+                                chunk_frames=chunk, interpret=True,
+                                clamp_s16=True)
+    a = np.concatenate([wide.process(data), wide.flush()], axis=1)
+    b = np.concatenate([clamped.process(data), clamped.flush()], axis=1)
+    assert b.dtype == np.int16
+    np.testing.assert_array_equal(b, np.clip(a, -0x7FFF, 0x7FFF).astype(np.int16))
