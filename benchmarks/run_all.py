@@ -120,6 +120,13 @@ def _bench_common():
     rng = np.random.default_rng(0)
     n_out_default = 8192  # 16384-frame multi-lane inputs exceed Mosaic VMEM
 
+    def input_rows(cfg, inc, plan, max_taps, n_out):
+        """Rows a launch's input must provide (shared by every config)."""
+        s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
+        if plan["kernel"] == "strided":
+            s += strided_phase_padding(max_taps, plan["d"], 32)
+        return -(-s // 16) * 16
+
     def make_body(in_rate, out_rate, lanes, lpf=None, n_out=None):
         """(body, x0, samples_per_iter) for one kernel class at one ratio."""
         n_out = n_out or n_out_default
@@ -128,10 +135,7 @@ def _bench_common():
         inc = fx.calculate_ratio(in_rate, out_rate)
         plan = plan_uniform(inc, n_out)
         max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
-        s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
-        if plan["kernel"] == "strided":
-            s += strided_phase_padding(max_taps, plan["d"], 32)
-        s = -(-s // 16) * 16
+        s = input_rows(cfg, inc, plan, max_taps, n_out)
         x0 = jnp.asarray(
             rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32)
         )
@@ -274,8 +278,7 @@ def run_config(which: str) -> None:
         inc = fx.calculate_ratio(8000, 48000)
         plan = plan_uniform(inc, n_out_default)
         taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
-        s3 = ((n_out_default * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 128
-        s3 = -(-s3 // 16) * 16
+        s3 = env["input_rows"](cfg, inc, plan, taps, n_out_default)
         xs0 = tuple(jnp.asarray(
             rng.integers(-32768, 32768, size=(s3, split)).astype(np.int32))
             for _ in range(n_sub))

@@ -142,12 +142,9 @@ class UniformStreamFarm:
             # window plus up to 255 grain-padding frames x d rows. Reserve for
             # the strides this farm can actually reach — a stride-d ratio has
             # kernel_scale >= d, so its radius is >= model.radius * d and
-            # adjust accepts it only while model.radius * d <= radius_bound —
-            # and only while the reservation keeps the staging buffer inside
-            # the VMEM-safe row budget (otherwise it would push EVERY kind,
-            # including tiled/general, onto the gather oracle; strided
-            # launches that then lack the over-read padding downgrade to the
-            # XLA path per-launch in _launch_specs instead).
+            # adjust accepts it only while model.radius * d <= radius_bound.
+            # Strided launches that end up without the over-read padding
+            # downgrade to the XLA path per-launch in _launch_specs.
             strided_slack = 0
             for dd in range(2, radius_bound // model.radius + 1):
                 strided_slack = max(
@@ -155,11 +152,20 @@ class UniformStreamFarm:
                     96 + 256 * dd + strided_phase_padding(self._max_taps, dd, 32),
                 )
             base_capacity = 2 * radius_bound + chunk_frames + slack
-            if (
-                strided_slack > slack
-                and base_capacity <= VMEM_SAFE_INPUT_ROWS
-                and 2 * radius_bound + chunk_frames + strided_slack
-                <= VMEM_SAFE_INPUT_ROWS
+            with_strided = 2 * radius_bound + chunk_frames + strided_slack
+            # Reserve unless it would be the ONLY thing pushing a farm whose
+            # primary ratio is tiled/general past the VMEM row budget (which
+            # would reroute its hot path onto the gather oracle). A farm
+            # already past the budget loses nothing (tiled/general are
+            # oracle-routed regardless, and the polyphase WIDE variant only
+            # needs capacity/d rows per block); a farm whose PRIMARY ratio is
+            # integer-stride wants the reservation even at the cost of a
+            # hypothetical later tiled adjust.
+            primary_strided = plan_uniform(self.increment, 0)["kernel"] == "strided"
+            if strided_slack > slack and (
+                with_strided <= VMEM_SAFE_INPUT_ROWS
+                or base_capacity > VMEM_SAFE_INPUT_ROWS
+                or primary_strided
             ):
                 slack = strided_slack
         self._capacity = radius_bound + chunk_frames + radius_bound + slack
@@ -278,9 +284,9 @@ class UniformStreamFarm:
             if kind in ("tiled", "general") and self._capacity > VMEM_SAFE_INPUT_ROWS:
                 kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
             step = MAX_LAUNCH_OUTPUT_FRAMES
-        # Padding granularity per kernel: tiled needs 8*group=64, the general
-        # kernel needs 128, the polyphase strided kernels 8*group=256 (the
-        # fastest measured group), the XLA strided path and the oracle only 8.
+        # Padding granularity per kernel: tiled needs 8*group=64, the
+        # general and polyphase strided kernels 8*group=256 (the fastest
+        # measured group), the XLA strided path and the oracle only 8.
         grain = {"tiled": 64, "strided": 256, "strided_xla": 8,
                  "general": 256, "oracle": 8}[kind]
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract

@@ -829,7 +829,7 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
 
     ``plans[i]`` is a hashable static tuple
     (kind, d, cand, max_taps, n_out, clamp_s16[, lanes, lane_offset]) with
-    kind in {"tiled", "strided", "general", "oracle"}; xs[i]/states[i] are
+    kind in {"tiled", "strided", "strided_xla", "general", "oracle"}; xs[i]/states[i] are
     that launch's input block and phase state. The optional
     (lanes, lane_offset) pair runs the launch over a column slice of xs[i]
     with no copy — splitting a wide fleet into several ~512-lane sub-launches

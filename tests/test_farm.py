@@ -379,3 +379,25 @@ def test_farm_strided_xla_downgrade_bit_exact():
     for i in range(3):
         want = _host_reference(data[i], ch, 96000, 48000, 96000)
         np.testing.assert_array_equal(got[i], want, err_msg=f"stream {i}")
+
+
+def test_farm_large_chunk_strided_keeps_polyphase():
+    """A strided-primary farm whose capacity exceeds the fused-kernel VMEM
+    budget still reserves the polyphase padding (the WIDE variant only needs
+    capacity/d rows per block) and stays bit-exact (round-2 review
+    finding)."""
+    from clownresampler_tpu.farm import VMEM_SAFE_INPUT_ROWS
+
+    rng = np.random.default_rng(61)
+    ch, chunk = 1, 13000
+    farm = UniformStreamFarm(2, ch, 96000, 48000, chunk_frames=chunk,
+                             interpret=True)
+    assert farm._capacity > VMEM_SAFE_INPUT_ROWS
+    specs, _ = farm._launch_specs(4096)
+    assert specs[0][3][0] == "strided", specs[0][3]
+
+    data = rng.integers(-32768, 32768, size=(2, chunk, ch)).astype(np.int16)
+    got = np.concatenate([farm.process(data), farm.flush()], axis=1)
+    for i in range(2):
+        want = _host_reference(data[i], ch, 96000, 48000, 96000)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"stream {i}")

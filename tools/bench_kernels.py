@@ -82,14 +82,16 @@ def main():
     variants = [("strided XLA  96k->48k",
                  lambda c: resample_integer_stride(
                      table, c, st, max_taps=taps, n_out=n_out, d=d)[0])]
-    if choose_strided_plan(x.shape[0], d, n_out):
+    choice = choose_strided_plan(x.shape[0], d, n_out)
+    if choice:
+        grp = choice[1]
         variants += [
             ("strided fused 96k->48k",
              lambda c: resample_strided_phases(
-                 table, c, st, max_taps=taps, n_out=n_out, d=d, group=32)[0]),
+                 table, c, st, max_taps=taps, n_out=n_out, d=d, group=grp)[0]),
             ("strided wide  96k->48k",
              lambda c: resample_strided_phases_wide(
-                 table, c, st, max_taps=taps, n_out=n_out, d=d, group=32)[0]),
+                 table, c, st, max_taps=taps, n_out=n_out, d=d, group=grp)[0]),
         ]
     for label, fn in variants:
         def body(c, fn=fn):
