@@ -162,3 +162,31 @@ def test_scan_backlog_flag_on_undersized_n_out():
         table, chunks, state, max_taps=8, n_out=int(good_cap) // 2, radius=r
     )
     assert bool(bad)
+
+
+@pytest.mark.parametrize("in_rate,out_rate", FUSED_RATIOS)
+def test_scan_fused_with_strided_table(in_rate, out_rate):
+    """resample_scan_fused fed the row-gather LUT layout == without it."""
+    from clownresampler_tpu.models import DEFAULT_MODEL
+
+    rng = np.random.default_rng(57)
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    r = cfg.integer_stretched_kernel_radius
+    max_taps = -(-2 * r // 8) * 8
+    lanes, n_in, k = 128, 256, 3
+    n_out_cap = -(-(((n_in + 2 * r) * 65536) // inc + 16) // 128) * 128
+    chunks = jnp.asarray(
+        rng.integers(-32768, 32768, size=(k, n_in, lanes)).astype(np.int32))
+    table = jnp.asarray(lanczos_kernel_table())
+    tstr = jnp.asarray(DEFAULT_MODEL.strided_table(cfg.kernel_step_size, max_taps))
+    state = make_device_state(0, 0, cfg, inc)
+
+    plain = resample_scan_fused(
+        table, chunks, state, max_taps=max_taps, n_out=int(n_out_cap), radius=r,
+        increment=inc, interpret=True)
+    fast = resample_scan_fused(
+        table, chunks, state, max_taps=max_taps, n_out=int(n_out_cap), radius=r,
+        increment=inc, interpret=True, table_strided=tstr)
+    np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(plain[0]))
+    np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(plain[1]))
