@@ -519,10 +519,15 @@ def main() -> None:
         return
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for which in CONFIGS:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--config", which],
-            cwd=repo, text=True, capture_output=True,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--config", which],
+                cwd=repo, text=True, capture_output=True, timeout=1200,
+            )
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": f"config{which}",
+                              "error": "timeout (1200s)"}), flush=True)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)
