@@ -71,10 +71,27 @@ def main() -> int:
         failures += not ok
         print(f"{'PASS' if ok else 'FAIL'} farm golden {in_rate}->{out_rate} md5={md5}")
 
-    # 2. Compiled kernels vs oracle across ratio classes.
+    # 2. Compiled kernels vs oracle across ratio classes: the four curated
+    # BASELINE ratios plus randomized draws per class (fresh each run is
+    # deliberate — this tool exists to catch compiled-on-hardware surprises).
     table = jnp.asarray(lanczos_kernel_table())
     rng = np.random.default_rng(7)
-    for in_rate, out_rate in [(48000, 44100), (8000, 44100), (96000, 48000), (44100, 8000)]:
+    ratios = [(48000, 44100), (8000, 44100), (96000, 48000), (44100, 8000)]
+    draw = np.random.default_rng()
+    for _ in range(3):  # tiled class: near-unity / upsample
+        o = int(draw.integers(8000, 192000))
+        i = int(draw.integers(max(1000, o // 8), 2 * o - 1))
+        ratios.append((i, o))
+    for _ in range(2):  # strided class: exact integer stride
+        o = int(draw.integers(4000, 48000))
+        ratios.append((int(draw.integers(2, 9)) * o, o))
+    for _ in range(2):  # general class: wide non-integer downsample
+        o = int(draw.integers(4000, 16000))
+        i = int(draw.integers(2 * o + 1, 10 * o))
+        if (i << 16) % o == 0:
+            i += 1
+        ratios.append((i, o))
+    for in_rate, out_rate in ratios:
         cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
         inc = fx.calculate_ratio(in_rate, out_rate)
         state = make_device_state(0, 0x4321, cfg, inc)
