@@ -99,6 +99,7 @@ class UniformStreamFarm:
         clamp_s16: bool = False,
         lane_multiple: int = LANES,
         split_lanes: bool = True,
+        capacity_rows: Optional[int] = None,
     ):
         low_pass_rate = low_pass_rate if low_pass_rate is not None else max(input_rate, output_rate)
         cfg = configure(input_rate, output_rate, low_pass_rate,
@@ -169,6 +170,17 @@ class UniformStreamFarm:
             ):
                 slack = strided_slack
         self._capacity = radius_bound + chunk_frames + radius_bound + slack
+        if capacity_rows is not None:
+            # Caller-forced staging geometry (MixedStreamFarm.adjust_stream:
+            # a migrating stream's solo farm must match the source farm's
+            # capacity exactly, but the strided-slack reservation above
+            # depends on the PRIMARY ratio, which differs between the two).
+            # Always >= the base capacity because the reservation only ever
+            # grows the slack for equal (radius_bound, chunk_frames, model);
+            # launches that then lack the polyphase over-read downgrade to
+            # the XLA strided path per-launch in _launch_specs.
+            assert capacity_rows >= 2 * radius_bound + chunk_frames, capacity_rows
+            self._capacity = capacity_rows
 
         # Lane splits: wide fleets stage into INDEPENDENT <=LANE_SPLIT-wide
         # buffers. Each sub-fleet's launches then form their own dependency
@@ -568,15 +580,36 @@ class MixedStreamFarm:
         by_key: dict[tuple, int] = {}
         for i, key in enumerate(norm):
             if key not in by_key:
-                farm = UniformStreamFarm(
-                    sum(1 for k in norm if k == key), channels, *key,
-                    chunk_frames=chunk_frames, model=model,
-                    interpret=interpret, max_radius=max_radius,
-                    clamp_s16=clamp_s16,
+                farm = self._make_group_farm(
+                    sum(1 for k in norm if k == key), key,
+                    max_radius=max_radius,
                 )
                 by_key[key] = len(self._groups)
                 self._groups.append([farm, []])
             self._groups[by_key[key]][1].append(i)
+
+    def _make_group_farm(self, n_streams: int, rates: tuple,
+                         max_radius: Optional[int] = None,
+                         capacity_rows: Optional[int] = None) -> UniformStreamFarm:
+        """Group-farm factory (ShardedMixedStreamFarm overrides this to build
+        mesh-sharded groups)."""
+        return UniformStreamFarm(
+            n_streams, self.channels, *rates,
+            chunk_frames=self.chunk_frames, model=self.model,
+            interpret=self.interpret, max_radius=max_radius,
+            clamp_s16=self.clamp_s16, capacity_rows=capacity_rows,
+        )
+
+    def _run_combined_launch(self, table, xs, states, plans, tstrs,
+                             interpret) -> list:
+        """Run every group's sub-launches as ONE device program
+        (ShardedMixedStreamFarm overrides this with a shard_map version)."""
+        return list(
+            multi_resample(
+                table, tuple(xs), tuple(states), tuple(plans),
+                interpret=interpret, tstrs=tuple(tstrs),
+            )
+        )
 
     def adjust_stream(self, i: int, input_rate: int, output_rate: int,
                       low_pass_rate: Optional[int] = None) -> bool:
@@ -610,21 +643,58 @@ class MixedStreamFarm:
         if cfg is None or cfg.integer_stretched_kernel_radius > farm._radius_bound:
             return False
         j = members.index(i)
-        staged = farm._gather_lanes(j * self.channels, self.channels)
-        solo = UniformStreamFarm(
-            1, self.channels, input_rate, output_rate, low_pass_rate,
-            chunk_frames=self.chunk_frames, model=self.model,
-            interpret=self.interpret, max_radius=farm._radius_bound,
-            clamp_s16=self.clamp_s16,
+        solo = self._make_group_farm(
+            1, (input_rate, output_rate, low_pass_rate),
+            max_radius=farm._radius_bound,
+            # Force identical staging geometry: the strided-slack reservation
+            # depends on the primary ratio, so a solo farm built for the NEW
+            # ratio could otherwise size its buffer differently from the
+            # source (round-2 advisor finding: AssertionError on migration).
+            capacity_rows=farm._capacity,
         )
-        assert solo._capacity == farm._capacity, "capacity drift between farms"
+        assert solo._capacity == farm._capacity
         solo.position_integer = farm.position_integer
         solo.position_fractional = farm.position_fractional
         solo._fill = farm._fill
-        solo._seed_lanes(0, staged[: solo._capacity])
+        lane_lo = j * self.channels
+        if farm._device_staging and solo._device_staging:
+            # Migrate the stream's staged lanes entirely on device: one jitted
+            # slice+scatter program, no host round-trip mid-stream (repeated
+            # host transfers interleaved with launches permanently degrade the
+            # relay-tunneled dispatch path — see benchmarks/RESULTS.md).
+            cols = []
+            for bi, (w, off) in enumerate(farm._lane_slices):
+                lo = max(lane_lo, off)
+                hi = min(lane_lo + self.channels, off + w)
+                if lo < hi:
+                    cols.append((bi, lo - off, hi - off))
+            migrated = self._dev_migrate_lanes(
+                farm._staging, cols=tuple(cols),
+                dst_shape=(solo._capacity, solo._lanes),
+            )
+            sharding = getattr(solo, "_sharding", None)  # mesh-sharded solo
+            if sharding is not None:
+                migrated = jax.device_put(migrated, sharding)
+            solo._staging = (migrated,)
+        else:
+            staged = farm._gather_lanes(lane_lo, self.channels)
+            solo._seed_lanes(0, staged[: solo._capacity])
         members[j] = None
         self._groups.append([solo, [i]])
         return True
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("cols", "dst_shape"))
+    def _dev_migrate_lanes(src_bufs, cols, dst_shape):
+        """Build a solo farm's staging buffer from column slices of the source
+        farm's per-slice buffers, entirely on device. ``cols`` is a static
+        tuple of (buffer_index, lo, hi) column ranges (a stream's channel
+        lanes may straddle a lane-slice boundary); rows are copied verbatim
+        (capacities match by construction), remaining lanes are zero."""
+        parts = [src_bufs[bi][:, lo:hi] for bi, lo, hi in cols]
+        data = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        out = jnp.zeros(dst_shape, jnp.int32)
+        return jax.lax.dynamic_update_slice(out, data, (0, 0))
 
     # Fused per-group device staging ops: one compiled program stages (or
     # slides) EVERY group's buffers, instead of one ~30 us dispatch per group
@@ -698,11 +768,8 @@ class MixedStreamFarm:
         if xs:
             table = pending[0][0]._table  # groups share the kernel model
             interpret = pending[0][0].interpret
-            outs = list(
-                multi_resample(
-                    table, tuple(xs), tuple(states), tuple(plans),
-                    interpret=interpret, tstrs=tuple(tstrs),
-                )
+            outs = self._run_combined_launch(
+                table, xs, states, plans, tstrs, interpret
             )
         else:
             outs = []

@@ -218,7 +218,8 @@ def resample_scan(
 
 @partial(
     jax.jit,
-    static_argnames=("max_taps", "n_out", "radius", "increment", "interpret"),
+    static_argnames=("max_taps", "n_out", "radius", "increment", "interpret",
+                     "split"),
 )
 def resample_scan_fused(
     table,
@@ -232,16 +233,25 @@ def resample_scan_fused(
     increment: int,      # static 16.16 increment: selects the kernel class
     interpret: bool = False,
     table_strided=None,  # KernelModel.strided_table(step, max_taps): fast LUT rows
+    split: int = 1,      # independent lane-column sub-fleets per scan step
 ):
     """resample_scan with the fastest kernel for ``increment`` as the engine.
 
     Same semantics as resample_scan (one jitted lax.scan, halo carry, radius
     position bias) but each step runs the plan_uniform-selected fused path —
-    tiled Pallas (increment < 2^17), XLA strided (exact integer stride), or the
-    general per-frame Pallas kernel (wide non-integer downsampling) — so the
-    fully-fused whole-stream pipeline covers every ratio class the reference
-    accepts (the high-level chunk loop, clownresampler.h:1138-1173, as one
-    device computation for ANY ratio).
+    tiled Pallas (increment < 2^17), polyphase/XLA strided (exact integer
+    stride), or the general per-frame Pallas kernel (wide non-integer
+    downsampling) — so the fully-fused whole-stream pipeline covers every
+    ratio class the reference accepts (the high-level chunk loop,
+    clownresampler.h:1138-1173, as one device computation for ANY ratio).
+
+    ``split`` runs the fleet as that many INDEPENDENT sub-fleets of L/split
+    lanes inside the same scan: each sub-fleet keeps its own halo/state carry
+    and staging buffer, so within a scan step the device overlaps the
+    sub-fleet kernels (independent dependency chains measure ~1.7-2.4x one
+    monolithic chain, benchmarks/RESULTS.md) while steps still serialize on
+    each sub-fleet's own carry only. Bit-exact for any split: lanes are
+    independent streams, the per-fleet math is identical (tests/test_scan.py).
 
     Returns (outputs (K, n_out, L) int32 zero-masked, produced (K,), state',
     backlog bool); ``backlog`` as in resample_scan.
@@ -285,7 +295,7 @@ def resample_scan_fused(
             + d_ + 16
         )
         slack = max(32, span_xla - n_in, span_phases - n_in)
-        choice = choose_strided_plan(2 * radius + n_in + slack, d_, n_out)
+        choice = choose_strided_plan(2 * radius + n_in + slack, d_, n_out, max_taps)
 
         def engine(buffer, st):
             if choice is None:
@@ -316,8 +326,10 @@ def resample_scan_fused(
             )
             return out
 
-    halo0 = jnp.zeros((2 * radius, l), jnp.int32)
-    zeros_slack = jnp.zeros((slack, l), jnp.int32)
+    assert l % split == 0, "chunk lanes must divide evenly into split sub-fleets"
+    l_sub = l // split
+    halo0 = jnp.zeros((2 * radius, l_sub), jnp.int32)
+    zeros_slack = jnp.zeros((slack, l_sub), jnp.int32)
 
     state = DeviceState(
         position_integer=state.position_integer + jnp.int32(radius),
@@ -325,8 +337,7 @@ def resample_scan_fused(
         cfg=state.cfg,
     )
 
-    def step(carry, chunk):
-        st, halo = carry
+    def substep(st, halo, chunk):
         buffer = jnp.concatenate([halo, chunk.astype(jnp.int32), zeros_slack], axis=0)
         natural = natural_output_count(
             st.position_integer,
@@ -354,15 +365,34 @@ def resample_scan_fused(
             cfg=st.cfg,
         )
         new_halo = jax.lax.slice_in_dim(buffer, n_in, n_in + 2 * radius, axis=0)
-        return (st2, new_halo), (out, produced, natural > jnp.int32(n_out))
+        return st2, new_halo, out, produced, natural > jnp.int32(n_out)
 
-    (state_out, _halo), (outputs, produced, over) = jax.lax.scan(
-        step, (state, halo0), chunks
+    def step(carry, chunks_t):
+        sts, halos = carry
+        results = [
+            substep(st, halo, chunk)
+            for st, halo, chunk in zip(sts, halos, chunks_t)
+        ]
+        sts2 = tuple(r[0] for r in results)
+        halos2 = tuple(r[1] for r in results)
+        outs = tuple(r[2] for r in results)
+        # Every sub-fleet shares the (scalar) phase sequence; report fleet 0's.
+        return (sts2, halos2), (outs, results[0][3], results[0][4])
+
+    chunk_cols = tuple(
+        jax.lax.slice_in_dim(chunks, i * l_sub, (i + 1) * l_sub, axis=2)
+        for i in range(split)
     )
+    (states_out, _halos), (outputs_t, produced, over) = jax.lax.scan(
+        step,
+        (tuple(state for _ in range(split)), tuple(halo0 for _ in range(split))),
+        chunk_cols,
+    )
+    outputs = outputs_t[0] if split == 1 else jnp.concatenate(outputs_t, axis=2)
     state_out = DeviceState(
-        position_integer=state_out.position_integer - jnp.int32(radius),
-        position_fractional=state_out.position_fractional,
-        cfg=state_out.cfg,
+        position_integer=states_out[0].position_integer - jnp.int32(radius),
+        position_fractional=states_out[0].position_fractional,
+        cfg=states_out[0].cfg,
     )
     return outputs, produced, state_out, jnp.any(over)
 
@@ -574,7 +604,9 @@ class LowLevelResampler:
                         group=32 if n_pad % 256 == 0 else 8,
                     )
                 elif plan["kernel"] == "strided":
-                    choice = choose_strided_plan(rows, plan["d"], n_pad)
+                    choice = choose_strided_plan(
+                        rows, plan["d"], n_pad, self._max_taps
+                    )
                     if choice is None:
                         out, _ = resample_integer_stride(
                             table, x, state, max_taps=self._max_taps,

@@ -37,7 +37,6 @@ All paths are bit-exact vs ops.convolve (tests/test_pallas.py).
 
 from __future__ import annotations
 
-import functools
 from functools import partial
 from typing import Optional
 
@@ -105,24 +104,31 @@ def precompute_launch(table, state: DeviceState, *, max_taps: int, n_out: int,
     return rows, kvals, q, eps, tile_rows
 
 
-@functools.lru_cache(maxsize=None)
-def _strided_table_dev(backend: str, radius: int, resolution: int, step: int,
-                       max_taps: int):
-    from clownresampler_tpu.models import KernelModel
-
-    return jnp.asarray(
-        KernelModel(radius, resolution).strided_table(step, max_taps)
-    )
+# (client, array) per (client id, config): dryrun_multichip / the test
+# conftest re-initialize backends mid-process (clear_backends), which
+# invalidates earlier device arrays — so the key is the backend CLIENT's
+# identity, not its name (a fresh same-named client must miss). The entry
+# holds a strong reference to the client, so its id cannot be reused while
+# the entry exists.
+_strided_table_cache: dict = {}
 
 
 def strided_table_device(radius: int, resolution: int, step: int, max_taps: int):
-    """Device-resident KernelModel.strided_table, cached per config so hot
-    paths pay the (tiny) host->device transfer once per process. Keyed by
-    the active backend: dryrun_multichip / the test conftest re-point JAX at
-    a virtual CPU mesh mid-process, which invalidates earlier device arrays."""
-    return _strided_table_dev(
-        jax.default_backend(), radius, resolution, step, max_taps
-    )
+    """Device-resident KernelModel.strided_table, cached per (backend client,
+    config) so hot paths pay the (tiny) host->device transfer once per
+    backend lifetime."""
+    import jax.extend  # registers jax.extend.backend (not exported by default)
+
+    from clownresampler_tpu.models import KernelModel
+
+    client = jax.extend.backend.get_backend()
+    key = (id(client), radius, resolution, step, max_taps)
+    hit = _strided_table_cache.get(key)
+    if hit is None or hit[0] is not client:
+        arr = jnp.asarray(KernelModel(radius, resolution).strided_table(step, max_taps))
+        _strided_table_cache[key] = (client, arr)
+        return arr
+    return hit[1]
 
 
 def _macc(win32, kval, acc):
@@ -423,20 +429,23 @@ def strided_phase_taps(max_taps: int, d: int) -> int:
     return 1 + -(-(max_taps - 1) // d)
 
 
-def choose_strided_plan(s: int, d: int, n_out: int):
-    """Pick the polyphase strided variant for an (input rows, stride, frames)
-    launch: ("fused"|"wide", group) or None when only the XLA path fits
-    (undersized n_out grain or a VMEM-exceeding buffer)."""
-    if n_out % 256 == 0:
-        group = 32
-    elif n_out % 64 == 0:
-        group = 8
-    else:
+def choose_strided_plan(s: int, d: int, n_out: int, max_taps: int):
+    """Pick the polyphase strided variant for an (input rows, stride, frames,
+    taps) launch: ("fused"|"wide", group) or None when only the XLA path fits
+    (undersized n_out grain, a VMEM-exceeding buffer, or — the span
+    contract — a buffer without the polyphase over-read padding:
+    s >= (n_out - 8*group)*d + strided_phase_padding, mirroring
+    resample_integer_stride's static span check so a buffer sized for the
+    XLA path is never silently window-shifted by the kernels' base clamp)."""
+    groups = [32, 8] if n_out % 256 == 0 else ([8] if n_out % 64 == 0 else [])
+    for group in groups:
+        if s < (n_out - 8 * group) * d + strided_phase_padding(max_taps, d, group):
+            continue  # smaller group over-reads less; retry before XLA
+        if s <= STRIDED_FUSED_MAX_ROWS:
+            return ("fused", group)
+        if s // d <= STRIDED_WIDE_MAX_ROWS:
+            return ("wide", group)
         return None
-    if s <= STRIDED_FUSED_MAX_ROWS:
-        return ("fused", group)
-    if s // d <= STRIDED_WIDE_MAX_ROWS:
-        return ("wide", group)
     return None
 
 
@@ -634,6 +643,13 @@ def resample_strided_phases(
     assert lanes % LANES == 0 and lane_offset % LANES == 0
     assert lane_offset + lanes <= l
     assert n_out % (FRAMES_PER_TILE * group) == 0
+    # Over-read contract (see strided_phase_padding): an undersized buffer
+    # would let the per-grid-step base clamp silently shift real frames'
+    # windows. choose_strided_plan enforces the same bound for dispatchers.
+    assert s >= (n_out - 8 * group) * d + strided_phase_padding(max_taps, d, group), (
+        f"input rows {s} below the polyphase over-read span for n_out={n_out},"
+        f" d={d}, taps={max_taps}, group={group}; use the XLA strided path"
+    )
     x2, kv_small, q0, rows, step_rows, n_j, w_load, s2 = _strided_setup(
         table, x, state, max_taps=max_taps, n_out=n_out, d=d, group=group
     )
@@ -719,6 +735,11 @@ def resample_strided_phases_wide(
     assert lanes % LANES == 0 and lane_offset % LANES == 0
     assert lane_offset + lanes <= l
     assert n_out % (FRAMES_PER_TILE * group) == 0
+    # Same over-read contract as resample_strided_phases (see there).
+    assert s >= (n_out - 8 * group) * d + strided_phase_padding(max_taps, d, group), (
+        f"input rows {s} below the polyphase over-read span for n_out={n_out},"
+        f" d={d}, taps={max_taps}, group={group}; use the XLA strided path"
+    )
     x2, kv_small, q0, rows, step_rows, n_j, w_load, s2 = _strided_setup(
         table, x, state, max_taps=max_taps, n_out=n_out, d=d, group=group
     )
@@ -866,7 +887,7 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
             # staging buffer lacks the polyphase over-read padding); "strided"
             # picks the fastest variant the shapes allow.
             choice = (None if kind == "strided_xla"
-                      else choose_strided_plan(x.shape[0], d, n_out))
+                      else choose_strided_plan(x.shape[0], d, n_out, max_taps))
             if choice is None:
                 out, _ = resample_integer_stride(
                     table, x, st, max_taps=max_taps, n_out=n_out, d=d,

@@ -1,6 +1,9 @@
 """Mesh-parallel scaling of the stream farm (DP over streams, SP over frames)."""
 
-from clownresampler_tpu.parallel.farm import ShardedStreamFarm
+from clownresampler_tpu.parallel.farm import (
+    ShardedMixedStreamFarm,
+    ShardedStreamFarm,
+)
 from clownresampler_tpu.parallel.sharding import (
     make_mesh,
     sharded_resample_batch,
@@ -8,6 +11,7 @@ from clownresampler_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "ShardedMixedStreamFarm",
     "ShardedStreamFarm",
     "make_mesh",
     "sharded_resample_batch",

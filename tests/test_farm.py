@@ -298,6 +298,53 @@ def test_mixed_farm_per_stream_adjust():
         np.testing.assert_array_equal(got, want_cat, err_msg=f"stream {i}")
 
 
+def test_mixed_farm_adjust_stream_capacity_drift():
+    """Round-2 advisor repro: with chunk_frames=8192 and max_radius=30 the
+    strided-slack reservation depends on the PRIMARY ratio, so migrating a
+    stream between a tiled-primary group and a strided-primary solo farm used
+    to crash with 'capacity drift between farms' (8566 vs 16108 rows). The
+    solo farm now inherits the source capacity; outputs stay bit-exact."""
+    from clownresampler_tpu.farm import MixedStreamFarm
+
+    rng = np.random.default_rng(53)
+    ch, chunk, n_chunks = 1, 512, 3
+    for specs, new_rate in [
+        # tiled-primary group, stream 0 re-rates to an integer stride
+        ([(48000, 44100), (48000, 44100)], (96000, 48000)),
+        # strided-primary group (capacity past the VMEM budget), stream 0
+        # re-rates OUT to a tiled ratio
+        ([(96000, 48000), (96000, 48000)], (48000, 44100)),
+    ]:
+        data = [
+            rng.integers(-32768, 32768, size=(n_chunks * chunk, ch)).astype(np.int16)
+            for _ in specs
+        ]
+        farm = MixedStreamFarm(specs, ch, chunk_frames=8192, interpret=True,
+                               max_radius=30)
+        outs = [[] for _ in specs]
+        for k in range(n_chunks):
+            if k == 1:
+                assert farm.adjust_stream(0, *new_rate)
+            res = farm.process([d[k * chunk : (k + 1) * chunk] for d in data])
+            for i, r in enumerate(res):
+                outs[i].append(r)
+        for i, r in enumerate(farm.flush()):
+            outs[i].append(r)
+        for i, (in_rate, out_rate) in enumerate(specs):
+            ref = UniformStreamFarm(1, ch, in_rate, out_rate, chunk_frames=8192,
+                                    interpret=True, max_radius=30)
+            want = []
+            for k in range(n_chunks):
+                if i == 0 and k == 1:
+                    assert ref.adjust(*new_rate)
+                want.append(ref.process(data[i][None, k * chunk : (k + 1) * chunk]))
+            want.append(ref.flush())
+            np.testing.assert_array_equal(
+                np.concatenate(outs[i], axis=0),
+                np.concatenate([w[0] for w in want], axis=0),
+                err_msg=f"specs={specs} stream {i}")
+
+
 def test_mixed_farm_adjust_stream_rejects_and_rolls_back():
     from clownresampler_tpu.farm import MixedStreamFarm
 

@@ -160,13 +160,45 @@ def test_strided_phases_group32_sublaunch_clamp():
 
 def test_choose_strided_plan_thresholds():
     """Variant selection: fused within the VMEM row budget, wide up to d x
-    budget, XLA (None) beyond or at off-grain frame counts."""
-    assert choose_strided_plan(4096, 2, 8192) == ("fused", 32)
-    assert choose_strided_plan(4096, 2, 64) == ("fused", 8)
-    assert choose_strided_plan(4096, 2, 8) is None          # off-grain
-    assert choose_strided_plan(STRIDED_FUSED_MAX_ROWS + 1, 2, 8192) == ("wide", 32)
-    assert choose_strided_plan(2 * STRIDED_FUSED_MAX_ROWS + 2, 2, 8192) is None
-    assert choose_strided_plan(3 * STRIDED_FUSED_MAX_ROWS, 4, 8192) == ("wide", 32)
+    budget, XLA (None) beyond, at off-grain frame counts, or — the span
+    contract — when the buffer lacks the polyphase over-read padding."""
+    taps = 16
+    # span requirements at taps=16, d=2: group 32 -> 1552 rows for n_out=512,
+    # group 8 -> 1168 (strided_phase_padding 1040 / 272).
+    assert choose_strided_plan(2048, 2, 512, taps) == ("fused", 32)
+    assert choose_strided_plan(2048, 2, 64, taps) == ("fused", 8)
+    assert choose_strided_plan(2048, 2, 8, taps) is None      # off-grain
+    # group fallback: only the smaller over-read fits the buffer
+    assert choose_strided_plan(1200, 2, 512, taps) == ("fused", 8)
+    # the ADVICE repro: sized for the XLA span contract only -> None
+    assert choose_strided_plan(1056, 2, 512, taps) is None
+    assert choose_strided_plan(20000, 2, 8192, taps) == ("wide", 32)
+    assert choose_strided_plan(2 * STRIDED_FUSED_MAX_ROWS + 2, 2, 8192, taps) is None
+    assert choose_strided_plan(3 * STRIDED_FUSED_MAX_ROWS, 4, 8192, taps) == ("wide", 32)
+
+
+def test_multi_resample_strided_span_contract_downgrade():
+    """A buffer sized only for the XLA span contract (the pre-polyphase
+    multi_resample contract, s >= (n_out-1)*d + taps + 8) must still be
+    bit-exact: choose_strided_plan routes it to the XLA path instead of
+    letting the polyphase kernels' base clamp shift real frames' windows
+    (ADVICE round-2 high finding; repro 96k->48k, n_out=512, s=1056)."""
+    from clownresampler_tpu.ops.pallas_resample import multi_resample
+
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg = configure(96000, 48000, 96000)
+    inc = fx.calculate_ratio(96000, 48000)
+    d = inc >> 16
+    max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    n_out = 512
+    state = make_device_state(2, 0, cfg, inc)
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.integers(-32768, 32768, size=(1056, 128)).astype(np.int32))
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    (got,) = multi_resample(
+        table, (x,), (state,),
+        (("strided", d, None, max_taps, n_out, False),), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_multi_resample_strided_dispatch():

@@ -164,6 +164,39 @@ def test_scan_backlog_flag_on_undersized_n_out():
     assert bool(bad)
 
 
+@pytest.mark.parametrize("in_rate,out_rate", [(48000, 44100), (96000, 48000),
+                                              (44100, 8000)])
+@pytest.mark.parametrize("split", [2, 4])
+def test_scan_fused_split_chains_bit_exact(in_rate, out_rate, split):
+    """split-chain fused scans (independent sub-fleet carries inside one
+    scan, the device-concurrency lever for whole-stream streaming —
+    VERDICT r2 item 1) == the monolithic fused scan, for every kernel
+    class."""
+    rng = np.random.default_rng(61)
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    r = cfg.integer_stretched_kernel_radius
+    max_taps = -(-2 * r // 8) * 8
+    lanes, n_in, k = 128 * split, 256, 4
+    n_out_cap = -(-(((n_in + 2 * r) * 65536) // inc + 16) // 128) * 128
+    chunks = jnp.asarray(
+        rng.integers(-32768, 32768, size=(k, n_in, lanes)).astype(np.int32))
+    table = jnp.asarray(lanczos_kernel_table())
+    state = make_device_state(0, 0, cfg, inc)
+
+    mono = resample_scan_fused(
+        table, chunks, state, max_taps=max_taps, n_out=int(n_out_cap), radius=r,
+        increment=inc, interpret=True)
+    multi = resample_scan_fused(
+        table, chunks, state, max_taps=max_taps, n_out=int(n_out_cap), radius=r,
+        increment=inc, interpret=True, split=split)
+    np.testing.assert_array_equal(np.asarray(multi[0]), np.asarray(mono[0]))
+    np.testing.assert_array_equal(np.asarray(multi[1]), np.asarray(mono[1]))
+    assert int(multi[2].position_integer) == int(mono[2].position_integer)
+    assert int(multi[2].position_fractional) == int(mono[2].position_fractional)
+    assert bool(multi[3]) == bool(mono[3])
+
+
 @pytest.mark.parametrize("in_rate,out_rate", FUSED_RATIOS)
 def test_scan_fused_with_strided_table(in_rate, out_rate):
     """resample_scan_fused fed the row-gather LUT layout == without it."""

@@ -75,6 +75,46 @@ def test_sharded_farm_adjust_pitch_bend():
     np.testing.assert_array_equal(run(sh_farm), run(ref_farm))
 
 
+def test_sharded_mixed_farm_matches_mixed_farm():
+    """ShardedMixedStreamFarm (per-ratio-group lane sharding, one fused
+    shard-mapped launch per chunk) == MixedStreamFarm per stream, including
+    a mid-stream per-stream adjust (the migrating stream lands in its own
+    sharded solo farm)."""
+    from clownresampler_tpu.farm import MixedStreamFarm
+    from clownresampler_tpu.parallel import ShardedMixedStreamFarm
+
+    mesh = make_mesh()
+    ch, chunk, n_chunks = 2, 384, 3
+    # 2 ratio groups x enough streams to give every device a 128-lane tile
+    specs = [(48000, 44100)] * 512 + [(96000, 48000)] * 512
+    rng = np.random.default_rng(19)
+    data = [
+        rng.integers(-32768, 32768, (n_chunks * chunk, ch)).astype(np.int16)
+        for _ in specs
+    ]
+
+    def run(farm):
+        outs = [[] for _ in specs]
+        for k in range(n_chunks):
+            if k == 1:
+                assert farm.adjust_stream(0, 32000, 48000)
+            res = farm.process([d[k * chunk : (k + 1) * chunk] for d in data])
+            for i, r in enumerate(res):
+                outs[i].append(r)
+        for i, r in enumerate(farm.flush()):
+            outs[i].append(r)
+        return [np.concatenate(o, axis=0) for o in outs]
+
+    ref = MixedStreamFarm(specs, ch, chunk_frames=chunk, interpret=True,
+                          max_radius=8)
+    sh = ShardedMixedStreamFarm(mesh, specs, ch, chunk_frames=chunk,
+                                interpret=True, max_radius=8)
+    want = run(ref)
+    got = run(sh)
+    for i, (w, g) in enumerate(zip(want, got)):
+        np.testing.assert_array_equal(g, w, err_msg=f"stream {i}")
+
+
 def test_sharded_farm_clamp_s16():
     """clamp_s16 through the shard-mapped launch == clipping the wide farm."""
     mesh = make_mesh()

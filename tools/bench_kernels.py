@@ -82,7 +82,7 @@ def main():
     variants = [("strided XLA  96k->48k",
                  lambda c: resample_integer_stride(
                      table, c, st, max_taps=taps, n_out=n_out, d=d)[0])]
-    choice = choose_strided_plan(x.shape[0], d, n_out)
+    choice = choose_strided_plan(x.shape[0], d, n_out, taps)
     if choice:
         grp = choice[1]
         variants += [
