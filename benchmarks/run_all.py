@@ -11,6 +11,8 @@ Configs (BASELINE.json):
   5.  1024-stream mixed-ratio stereo transcode farm (one fused program)
   6.  wide non-integer downsample 44.1k->8k (general kernel)
   7.  fused whole-stream scan 44.1k->8k (one lax.scan, zero host round-trips)
+  8.  wide-kernel domain 44.1k->132 (radius 1003, taps 2008): the DMA-based
+      wide fast path vs the XLA gather oracle it replaced
 
 Methodology: the K-SLOPE CHAIN (see bench.py docstring): K kernel iterations
 chained inside one jitted lax.scan with data feedback (x[0,0] += out[0,0]&1),
@@ -38,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7"]
+CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7", "8"]
 
 K1, K2 = 8, 40
 
@@ -152,7 +154,7 @@ def _bench_common():
                 d=plan["d"], cand=plan["cand"], table_strided=tstr,
                 group=grp_t)[0]
         elif plan["kernel"] == "strided":
-            choice = choose_strided_plan(s, plan["d"], n_out)
+            choice = choose_strided_plan(s, plan["d"], n_out, max_taps)
             if choice is None:
                 fn = lambda x: resample_integer_stride(
                     table, x, state, max_taps=max_taps, n_out=n_out,
@@ -196,13 +198,15 @@ def run_config(which: str) -> None:
                 n_out_default * 1, dt, 37.4)
 
     elif which == "1b":
-        # the actual HighLevelResampler API: host-driven 0x1000-buffer
-        # streaming (per-refill H2D + D2H — tunnel-bound in this environment)
+        # the actual HighLevelResampler API, both routes: the host-driven
+        # 0x1000-buffer chunk loop (per-refill H2D + D2H — tunnel-bound in
+        # this environment) and the bulk fused-scan path (ONE upload + ONE
+        # lax.scan + ONE download; VERDICT r2 item 8)
         from clownresampler_tpu.highlevel import HighLevelResampler
 
         hl_in = rng.integers(-32768, 32768, size=(1 << 18, 1)).astype(np.int16)
-        for _ in range(2):  # first pass warms compilation caches
-            rs = HighLevelResampler.init(1, 48000, 44100, 44100)
+
+        def make_cb():
             cursor = 0
 
             def hl_cb(total_frames: int) -> np.ndarray:
@@ -212,15 +216,20 @@ def run_config(which: str) -> None:
                 cursor += give
                 return out
 
-            t0 = time.perf_counter()
-            hl_out = rs.resample_stream(hl_cb)
-            hl_dt = time.perf_counter() - t0
-        msps = hl_out.size / hl_dt / 1e6
-        print(json.dumps({
-            "metric": "config1b mono 48k->44.1k via HighLevelResampler.resample_stream (host-driven, tunnel-bound)",
-            "value": round(msps, 3), "unit": "Msamples/s",
-            "vs_baseline": round(msps / 37.4, 4),
-        }), flush=True)
+            return hl_cb
+
+        for bulk, label in [(True, "bulk fused-scan"), (False, "host chunk loop")]:
+            for _ in range(2):  # first pass warms compilation caches
+                rs = HighLevelResampler.init(1, 48000, 44100, 44100)
+                t0 = time.perf_counter()
+                hl_out = rs.resample_stream(make_cb(), bulk=bulk)
+                hl_dt = time.perf_counter() - t0
+            msps = hl_out.size / hl_dt / 1e6
+            print(json.dumps({
+                "metric": f"config1b mono 48k->44.1k via HighLevelResampler.resample_stream ({label})",
+                "value": round(msps, 3), "unit": "Msamples/s",
+                "vs_baseline": round(msps / 37.4, 4),
+            }), flush=True)
 
     elif which == "2":
         # polyphase strided Pallas kernel (fused variant), split-chain fleet:
@@ -242,7 +251,7 @@ def run_config(which: str) -> None:
         n_out = 4096            # keeps the input inside the fused VMEM budget
         s = (n_out - 8 * 32) * d + strided_phase_padding(max_taps, d, 32) + 64
         s = -(-s // 16) * 16
-        assert choose_strided_plan(s, d, n_out) == ("fused", 32), (s, d)
+        assert choose_strided_plan(s, d, n_out, max_taps) == ("fused", 32), (s, d)
         n_sub, split = 4, 512
         xs0 = tuple(
             jnp.asarray(rng.integers(-32768, 32768, size=(s, split)).astype(np.int32))
@@ -467,6 +476,8 @@ def run_config(which: str) -> None:
         from clownresampler_tpu.ops.pallas_resample import strided_table_device
 
         in_rate, out_rate, lanes, n_in = 44100, 8000, 2048, 8192
+        split = 4  # independent sub-fleet carries inside the scan (VERDICT r2
+                   # item 1): within a step the 4 sub-fleet kernels overlap
         cfg = configure(in_rate, out_rate, in_rate)
         inc = fx.calculate_ratio(in_rate, out_rate)
         radius = cfg.integer_stretched_kernel_radius
@@ -485,7 +496,7 @@ def run_config(which: str) -> None:
             def go(ch, st):
                 outs, produced, st2, backlog = resample_scan_fused(
                     table, ch, st, max_taps=taps, n_out=n_cap, radius=radius,
-                    increment=inc, table_strided=tstr)
+                    increment=inc, table_strided=tstr, split=split)
                 return outs[-1, 0, 0], jnp.sum(produced), backlog
 
             r = go(chunks, state)
@@ -506,8 +517,69 @@ def run_config(which: str) -> None:
         t2, p2 = run_k(k2)
         dt_chunk = (t2 - t1) / (k2 - k1)
         samples_chunk = (p2 - p1) / (k2 - k1) * lanes
-        _report("config7 fused whole-stream scan 44.1k->8k x1024 stereo (one lax.scan, general kernel)",
+        _report("config7 fused whole-stream scan 44.1k->8k x1024 stereo (one lax.scan, 4 split-chain sub-fleets)",
                 samples_chunk, dt_chunk, 27.0)
+
+    elif which == "8":
+        # wide-kernel domain (VERDICT r2 item 5): radius 1003 / taps 2008 —
+        # past FAST_KERNEL_MAX_TAPS every dispatcher used to fall back to the
+        # XLA gather oracle; the DMA-based resample_wide_taps keeps the input
+        # in HBM (no VMEM row budget) with one double-buffered DMA per frame.
+        # C anchor: the scalar loop at ~33 taps does 13.5 Mframes/s, so at
+        # 2008 taps it scales to ~13.5*33/2008 = 0.222 Mframes/s = 0.222
+        # Msamples/s mono (tap count is the inner loop length).
+        from clownresampler_tpu import fixedpoint as fx
+        from clownresampler_tpu.configure import configure
+        from clownresampler_tpu.lowlevel import make_device_state
+        from clownresampler_tpu.models import DEFAULT_MODEL
+        from clownresampler_tpu.ops.convolve import convolve_frames
+        from clownresampler_tpu.ops.pallas_resample import (
+            resample_wide_taps,
+            strided_table_device,
+        )
+
+        cfg = configure(44100, 132, 44100)
+        inc = fx.calculate_ratio(44100, 132)
+        taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        assert taps > 1024, taps
+        n_out, lanes = 64, 1024
+        s = ((n_out * inc) >> 16) + taps + 64
+        s = -(-s // 16) * 16
+        x0 = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
+        state = make_device_state(0, 0x4321, cfg, inc)
+        tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                                    cfg.kernel_step_size, taps)
+        jax.block_until_ready(x0)
+
+        def body_wide(x):
+            out, _ = resample_wide_taps(
+                table, x, state, max_taps=taps, n_out=n_out, table_strided=tstr)
+            return x.at[0, 0].add(out[0, 0] & 1)
+
+        _report("config8 wide kernel 44.1k->132 radius 1003 x512 stereo (DMA fast path)",
+                n_out * lanes, _kslope(body_wide, x0), 0.222)
+
+        # the oracle it replaced, at a footprint it can stand (the gather
+        # materialises (n_out, taps, L) windows)
+        lanes_o = 128
+        x1 = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s, lanes_o)).astype(np.int32))
+        n = jnp.arange(n_out, dtype=jnp.int32)
+        pos, frac = fx.positions_from_state(
+            state.position_integer, state.position_fractional,
+            state.cfg.increment_hi, state.cfg.increment_lo, n)
+        jax.block_until_ready(x1)
+
+        import functools
+
+        @functools.partial(jax.jit)
+        def body_oracle(x):
+            out = convolve_frames(table, x, pos, frac, state.cfg, taps)
+            return x.at[0, 0].add(out[0, 0] & 1)
+
+        _report("config8b wide-kernel oracle fallback (XLA gather) same ratio x64 stereo",
+                n_out * lanes_o, _kslope(body_oracle, x1), 0.222)
 
     else:
         raise SystemExit(f"unknown config {which}")

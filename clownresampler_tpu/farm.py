@@ -286,10 +286,15 @@ class UniformStreamFarm:
         """
         kind = None
         if self._max_taps > FAST_KERNEL_MAX_TAPS:
-            # Wide-kernel oracle fallback (see lowlevel.FAST_KERNEL_MAX_TAPS):
-            # clamped-gather convolution; bound the (tile, taps, L) gather.
-            kind, d, cand = "oracle", None, None
-            step = max(8, (1 << 22) // self._max_taps)
+            # DMA-based wide kernel (see ops.resample_wide_taps): the staging
+            # buffer stays in HBM, so no VMEM row budget applies; launches
+            # are capped at the wide kernel's frame bound.
+            from clownresampler_tpu.ops.pallas_resample import (
+                WIDE_MAX_LAUNCH_FRAMES,
+            )
+
+            kind, d, cand = "wide", None, None
+            step = WIDE_MAX_LAUNCH_FRAMES
         else:
             plan = plan_uniform(self.increment, 0)
             kind, d, cand = plan["kernel"], plan.get("d"), plan.get("cand")
@@ -300,7 +305,7 @@ class UniformStreamFarm:
         # general and polyphase strided kernels 8*group=256 (the fastest
         # measured group), the XLA strided path and the oracle only 8.
         grain = {"tiled": 64, "strided": 256, "strided_xla": 8,
-                 "general": 256, "oracle": 8}[kind]
+                 "general": 256, "wide": 8, "oracle": 8}[kind]
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
         # (clownresampler.h:725-733) puts the buffer origin only `radius` rows
         # before the data, so shift launch positions by the difference when

@@ -218,14 +218,132 @@ class HighLevelResampler:
 
     # ------------------------------------------------------------------
     # Array-style conveniences (no per-frame Python crossing contracts).
-    def resample_stream(self, input_callback: InputCallback) -> np.ndarray:
-        """Run to end-of-input, then flush; returns all output frames."""
+    def resample_stream(
+        self, input_callback: InputCallback, bulk: Optional[bool] = None
+    ) -> np.ndarray:
+        """Run to end-of-input, then flush; returns all output frames.
+
+        ``bulk`` routes the whole stream through ONE fused device scan
+        (lowlevel.resample_scan_fused: halo carry, natural counts and the
+        ResampleEnd zero-flush all on device — the reference's chunk loop,
+        clownresampler.h:1120-1176 + 1242-1250, as one computation) instead
+        of the host chunk loop. Output bytes are identical (the scan is
+        bit-exact vs the host path, tests/test_highlevel.py); the bulk path
+        needs no per-frame callback contract, so it is only taken from a
+        pristine resampler (nothing primed or buffered yet) and leaves the
+        internal buffer cursors in a generic post-flush state rather than
+        the host loop's exact final geometry. ``bulk=None`` auto-selects it
+        on TPU for fast-path kernel widths.
+        """
+        if bulk is None:
+            import jax
+
+            from clownresampler_tpu.lowlevel import FAST_KERNEL_MAX_TAPS
+
+            bulk = (
+                jax.default_backend() == "tpu"
+                and self._is_pristine()
+                and self.low_level._max_taps <= FAST_KERNEL_MAX_TAPS
+            )
+        if bulk:
+            assert self._is_pristine(), "bulk path requires a pristine resampler"
+            out = self._resample_stream_fused(input_callback)
+            if out is not None:
+                return out
         collected: list = []
         self.resample(input_callback, _collect=collected)
         self.resample_end(_collect=collected)
         if not collected:
             return np.zeros((0, self.channels), np.int32)
         return np.concatenate(collected, axis=0)
+
+    def _is_pristine(self) -> bool:
+        """True while nothing has been primed, buffered, or emitted."""
+        ll = self.low_level
+        r = self.maximum_integer_stretched_kernel_radius
+        return (
+            self.leading_padding_frames_needed == r
+            and self.trailing_padding_frames_remaining == r
+            and self.input_buffer_start == self.input_buffer_end == r * self.channels
+            and ll.position_integer == 0
+            and ll.position_fractional == 0
+        )
+
+    def _resample_stream_fused(
+        self, input_callback: InputCallback, n_in: int = 2048,
+        interpret: Optional[bool] = None,
+    ) -> Optional[np.ndarray]:
+        """Whole-stream resample as one fused lax.scan (see resample_stream).
+
+        Drains the input callback into (K, n_in, 128) lane-padded chunks
+        (real channels in the first columns), appends the trailing `radius`
+        zero-flush frames, runs lowlevel.resample_scan_fused once, and
+        truncates to the exact natural frame count ceil(N<<16 / increment)
+        — the count the C high-level path emits for an N-frame stream with
+        automatic edge padding (== LowLevel over a radius-padded buffer,
+        SURVEY.md section 4 finding 1). Returns None for an empty stream
+        (the host path reproduces that edge exactly).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from clownresampler_tpu.lowlevel import (
+            make_device_state,
+            resample_scan_fused,
+        )
+        from clownresampler_tpu.ops.pallas_resample import strided_table_device
+
+        ll = self.low_level
+        cfg = ll.config
+        r = cfg.integer_stretched_kernel_radius
+        ch = self.channels
+        inc = ll.increment
+
+        pieces = []
+        n = 0
+        while True:
+            got = np.asarray(input_callback(n_in))
+            m = got.shape[0] if got.size else 0
+            if m == 0:
+                break
+            pieces.append(got.reshape(m, ch))
+            n += m
+        if n == 0:
+            return None
+
+        lanes = 128                       # engine lane-tile width
+        total = n + r                     # stream + ResampleEnd zero flush
+        k = -(-total // n_in)
+        buf = np.zeros((k * n_in, lanes), np.int16)
+        buf[:n, :ch] = np.concatenate(pieces, axis=0)
+        chunks = jnp.asarray(buf.reshape(k, n_in, lanes))
+
+        max_taps = ll._max_taps
+        n_cap = -(-(((n_in + 2 * r) << 16) // inc + 8) // 128) * 128
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        tstr = strided_table_device(
+            ll.model.radius, ll.model.resolution, cfg.kernel_step_size, max_taps
+        )
+        table = jnp.asarray(ll.model.table())
+        state = make_device_state(0, 0, cfg, inc)
+        outs, produced, _state_out, backlog = resample_scan_fused(
+            table, chunks, state, max_taps=max_taps, n_out=n_cap, radius=r,
+            increment=inc, interpret=interpret, table_strided=tstr,
+        )
+        assert not bool(backlog), "scan cap undersized (internal)"
+        outs = np.asarray(outs)
+        produced = np.asarray(produced)
+        n_total = -(-(n << 16) // inc)    # exact natural count from (0, 0)
+        out = np.concatenate(
+            [outs[i, : produced[i], :ch] for i in range(k)], axis=0
+        )[:n_total]
+        # Post-stream bookkeeping: positions advanced past the whole stream,
+        # flush consumed (generic finished state; see resample_stream doc).
+        ll._advance(n_total)
+        ll.position_integer = 0
+        self.trailing_padding_frames_remaining = 0
+        return out
 
     def buffer_fill_frames(self) -> int:
         return (self.input_buffer_end - self.input_buffer_start) // self.channels

@@ -44,15 +44,18 @@ from clownresampler_tpu.ops.convolve import ConfigScalars, convolve_frames
 # Keep n*increment_lo inside int32 (fixedpoint.positions_from_state).
 MAX_CHUNK_OUTPUT_FRAMES = 1 << 14
 
-# Width guard for the fused fast paths. The reference accepts any ratio with
-# kernel_scale < 0x1000 (clownresampler.h:974-975), i.e. stretched radius up
-# to 3*4096 and tap windows up to ~24,576 — but the Pallas kernels keep their
-# window loads VMEM-resident (power-of-two rows scaling with taps) and the
-# XLA strided fallback unrolls one slice per tap, so very wide kernels would
-# blow the VMEM budget / compile forever. Beyond this bound every dispatcher
-# falls back to the XLA gather oracle (ops/convolve.py), which handles the
-# full domain; the fast paths are proven bit-exact and compile-tractable up
-# to it (tests/test_pallas.py, tools/verify_tpu.py).
+# Width guard for the VMEM-resident fast paths. The reference accepts any
+# ratio with kernel_scale < 0x1000 (clownresampler.h:974-975), i.e. stretched
+# radius up to 3*4096 and tap windows up to ~24,576 — but the VMEM Pallas
+# kernels keep their window loads on-chip (power-of-two rows scaling with
+# taps) and the XLA strided fallback unrolls one slice per tap, so very wide
+# kernels would blow the VMEM budget / compile forever. Beyond this bound the
+# TPU dispatchers run the DMA-based wide kernel
+# (ops.pallas_resample.resample_wide_taps: input stays in HBM, one
+# double-buffered DMA per frame — covers the full accepted domain), and
+# non-TPU paths use the XLA gather oracle (ops/convolve.py). Bit-exactness
+# across the boundary: tests/test_pallas.py, tests/test_property_fuzz.py,
+# tools/verify_tpu.py.
 FAST_KERNEL_MAX_TAPS = 1024
 
 
@@ -524,6 +527,7 @@ class LowLevelResampler:
         import jax as _jax
 
         from clownresampler_tpu.ops.pallas_resample import (
+            WIDE_MAX_LAUNCH_FRAMES,
             choose_strided_plan,
             plan_uniform,
             resample_integer_stride,
@@ -531,6 +535,7 @@ class LowLevelResampler:
             resample_strided_phases_wide,
             resample_uniform_lanes_general,
             resample_uniform_lanes_tiled,
+            resample_wide_taps,
             strided_phase_padding,
             strided_table_device,
             window_rows_needed,
@@ -540,6 +545,12 @@ class LowLevelResampler:
         use_fast = (
             _jax.default_backend() == "tpu"
             and self._max_taps <= FAST_KERNEL_MAX_TAPS
+        )
+        # Kernels past the VMEM-resident width guard run the DMA-based wide
+        # kernel (input stays in HBM) instead of the gather oracle.
+        use_wide = (
+            _jax.default_backend() == "tpu"
+            and self._max_taps > FAST_KERNEL_MAX_TAPS
         )
         plan = plan_uniform(self.increment, 0) if use_fast else None
         if use_fast:
@@ -627,9 +638,34 @@ class LowLevelResampler:
                         group=32 if n_pad % 256 == 0 else 16,
                     )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
+            elif use_wide:
+                # DMA-based wide kernel: input stays in HBM (no VMEM row
+                # budget); launches are capped at WIDE_MAX_LAUNCH_FRAMES and
+                # the row window power-of-two-bucketed to bound recompiles.
+                tile = min(tile, WIDE_MAX_LAUNCH_FRAMES)
+                n_pad = fx.round_up(tile, 8)
+                rows = ((n_pad * self.increment) >> 16) + self._max_taps + 64
+                bucket = 1024
+                while bucket < rows:
+                    bucket *= 2
+                rows = bucket
+                window = np.zeros((rows, 128), np.int32)
+                avail = min(rows, padded_input.shape[0] - p0)
+                if avail > 0:
+                    window[:avail, : self.channels] = padded_input[p0 : p0 + avail]
+                state = make_device_state(0, f0, self.config, self.increment)
+                tstr_w = strided_table_device(
+                    self.model.radius, self.model.resolution,
+                    self.config.kernel_step_size, self._max_taps,
+                )
+                out, _ = resample_wide_taps(
+                    table, jnp.asarray(window), state,
+                    max_taps=self._max_taps, n_out=n_pad, table_strided=tstr_w,
+                )
+                chunks.append(np.asarray(out)[:tile, : self.channels])
             else:
                 if self._max_taps > FAST_KERNEL_MAX_TAPS:
-                    # Wide-kernel oracle: the gather materialises
+                    # Wide-kernel oracle (CPU path): the gather materialises
                     # (n_pad, max_taps, C) windows — bound the launch footprint
                     # and skip the recompilation-bucket padding (natural counts
                     # at such ratios are tiny anyway).

@@ -303,9 +303,11 @@ def resample_uniform_lanes_tiled(
 # ---------------------------------------------------------------------------
 
 def _kernel_general(
-    rows_ref,       # scalar prefetch (N,): per-frame window base row
+    rows_ref,       # scalar prefetch (N,): per-frame ALIGNED window starts
     meta_ref,       # (8*G, 128) block: col 1 = q (col 0 unused here)
-    kv_ref,         # (T, 8*G) block: kernel values, taps on sublanes
+    kv_ref,         # (T+8, 8*G) block: phase-shifted kernel values, taps on
+                    # sublanes (col n is frame n's taps delayed by its
+                    # 8-alignment residue — see resample_uniform_lanes_general)
     x_ref,          # (S, 128) lane-tile block, int32
     out_ref,        # (8*G, 128) block
     *,
@@ -317,10 +319,14 @@ def _kernel_general(
     """Per-frame windows with taps on the sublane axis.
 
     For increments >= 2*2^16 consecutive frames' windows no longer overlap
-    enough to share a tile load, so each frame does its own aligned load +
-    roll; the (T, 128) window multiply-accumulates against a (T, 1) kernel
-    column (static lane slice of the pre-transposed kv block) and reduces
-    over sublanes. Any ratio the reference accepts works here.
+    enough to share a tile load, so each frame slices its own aligned
+    window; the alignment residue is folded into the KERNEL column in XLA
+    (taps pre-shifted by base%8, zeros elsewhere — exact, since a zero tap
+    contributes a zero truncated term), so there is NO in-kernel roll: the
+    (T+8, 128) window multiply-accumulates directly against a (T+8, 1)
+    kernel column and reduces over sublanes. (The roll this replaced was
+    ~the largest per-frame cost — benchmarks/RESULTS.md round-3.) Any ratio
+    the reference accepts works here.
     """
     jg = pl.program_id(1)
 
@@ -328,11 +334,8 @@ def _kernel_general(
         rows_lo = jg * (FRAMES_PER_TILE * group) + g * FRAMES_PER_TILE
         accs = []
         for k in range(FRAMES_PER_TILE):
-            base = rows_ref[rows_lo + k]
-            a = pl.multiple_of((base // 8) * 8, 8)
-            window = x_ref[pl.ds(a, w_load), :]
-            r = pltpu.roll(window, -(base - a), axis=0)
-            win = r[:max_taps]                                   # (T, 128)
+            a = pl.multiple_of(rows_ref[rows_lo + k], 8)
+            win = x_ref[pl.ds(a, w_load), :][: max_taps + 8]     # (T+8, 128)
             kcol = kv_ref[:, g * FRAMES_PER_TILE + k : g * FRAMES_PER_TILE + k + 1]
             terms = _macc(win, kcol, jnp.zeros_like(win))
             accs.append(jnp.sum(terms, axis=0, keepdims=True))   # (1, 128)
@@ -380,9 +383,22 @@ def resample_uniform_lanes_general(
     rows, kvals, q, eps, _tile_rows = precompute_launch(
         table, state, max_taps=max_taps, n_out=n_out, table_strided=table_strided
     )
-    # Clamp padding frames' window bases into bounds (results discarded).
-    rows_launch = jnp.clip(rows, 0, max(s - w_load, 0))
-    kv = kvals.T                                                 # (T, N)
+    # Clamp padding frames' window bases into bounds (results discarded),
+    # then 8-align each start and fold the residue into the kernel column
+    # (taps delayed by base%8, zeros elsewhere — exact: zero taps contribute
+    # zero truncated terms). This removes the kernel's per-frame roll, its
+    # single largest cost (benchmarks/RESULTS.md round-3 decomposition).
+    rows_clamped = jnp.clip(rows, 0, max(s - w_load, 0))
+    m = rows_clamped % 8
+    rows_launch = rows_clamped - m
+    shifted = [
+        jnp.pad(kvals, ((0, 0), (mm, 8 - mm)))[:, : max_taps + 8]
+        for mm in range(8)
+    ]
+    kv8 = shifted[0]
+    for mm in range(1, 8):
+        kv8 = jnp.where((m == mm)[:, None], shifted[mm], kv8)    # (N, T+8)
+    kv = kv8.T                                                   # (T+8, N)
     meta = jnp.stack([eps, q], axis=1)
     meta = jnp.pad(meta, ((0, 0), (0, LANES - 2)))
 
@@ -392,7 +408,7 @@ def resample_uniform_lanes_general(
         grid=(lanes // LANES, n_out // step_frames),
         in_specs=[
             pl.BlockSpec((step_frames, LANES), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((max_taps, step_frames), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_taps + 8, step_frames), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i + tile0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -840,6 +856,155 @@ def resample_integer_stride(
 
 
 # ---------------------------------------------------------------------------
+# Wide-kernel fast path (taps > FAST_KERNEL_MAX_TAPS): per-frame DMA kernel
+# ---------------------------------------------------------------------------
+
+WIDE_FRAME_GROUP = 8      # frames per grid step (out block sublane count)
+WIDE_MAX_LAUNCH_FRAMES = 64   # caps the duplicated kv layout's footprint
+
+
+def _kernel_wide_taps(
+    a_ref,          # scalar prefetch (N_pad,): clamped 8-aligned window starts
+    kv_ref,         # (W, 128) block per frame group: col n = frame n's
+                    # phase-shifted tap vector (see resample_wide_taps)
+    x_ref,          # FULL (S, L) input in ANY memory (DMA'd manually)
+    out_ref,        # (8, 128) block: per-frame raw tap sums
+    scratch,        # VMEM (2, W, 128) double-buffered window slots
+    sems,           # DMA semaphores (2,)
+    *,
+    w: int,
+    tile0: int,
+):
+    """Raw tap sums for 8 output frames with the input resident in HBM.
+
+    The reference serves its widest accepted ratios (stretched radius up to
+    3007, tap windows up to ~24,576 samples) with the same scalar loop as
+    narrow ones (clownresampler.h:974-975, 986-1035); the VMEM-resident
+    fast kernels cannot — their whole input block must fit on chip. Here
+    each frame's full tap window is ONE async HBM->VMEM DMA (double-buffered
+    across frames so the copy overlaps the previous frame's MAC), and the
+    multiply runs against a per-frame kernel column whose taps were
+    pre-shifted by the window's 8-alignment residue in XLA — so there is no
+    in-kernel roll at all. Normalisation (1025-1033) happens in the XLA
+    epilogue, where the per-frame reciprocal already lives.
+    """
+    i = pl.program_id(0)
+    jf = pl.program_id(1)
+
+    def dma(slot, n_local):
+        a_n = a_ref[jf * WIDE_FRAME_GROUP + n_local]
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(a_n, w), pl.ds((i + tile0) * LANES, LANES)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    dma(0, 0).start()
+    rows_out = []
+    for n in range(WIDE_FRAME_GROUP):
+        slot = n % 2
+        if n + 1 < WIDE_FRAME_GROUP:
+            dma((n + 1) % 2, n + 1).start()
+        dma(slot, n).wait()
+        win = scratch[slot]                               # (W, 128)
+        kcol = kv_ref[:, n : n + 1]                       # (W, 1)
+        terms = _macc(win, kcol, jnp.zeros_like(win))
+        rows_out.append(jnp.sum(terms, axis=0, keepdims=True))
+    out_ref[:, :] = jnp.concatenate(rows_out, axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_taps", "n_out", "clamp_s16", "interpret",
+                     "lanes", "lane_offset"),
+)
+def resample_wide_taps(
+    table,
+    x,                   # (S, L) int32; S >= last window row + max_taps + 8,
+                         # S a multiple of 8. NOT VMEM-bounded (stays in HBM).
+    state: DeviceState,
+    *,
+    max_taps: int,       # static; any width the reference accepts
+    n_out: int,          # static; multiple of 8, <= WIDE_MAX_LAUNCH_FRAMES
+    clamp_s16: bool = False,
+    interpret: bool = False,
+    lanes: Optional[int] = None,
+    lane_offset: int = 0,
+    table_strided=None,
+):
+    """Any-ratio resample for kernels wider than the VMEM-resident paths.
+
+    Covers the full accepted configure domain (kernel_scale < 0x1000, radius
+    up to 3007 at defaults — clownresampler.h:974-975): the input never
+    enters a VMEM block, so there is no input-row budget; each frame's
+    window arrives by per-frame DMA (see _kernel_wide_taps). Works for any
+    increment (per-frame geometry); bit-exact vs ops.convolve
+    (tests/test_pallas.py) and vs the C oracle scripts at radius 1003/3007.
+    Returns (out (n_out, lanes) int32|int16, rows (n_out,)).
+    """
+    s, l = x.shape
+    lanes = l if lanes is None else lanes
+    assert lanes % LANES == 0 and lane_offset % LANES == 0
+    assert lane_offset + lanes <= l
+    assert n_out % WIDE_FRAME_GROUP == 0
+    assert n_out <= WIDE_MAX_LAUNCH_FRAMES, "tile wide launches (dispatchers do)"
+    w = max_taps + 8
+    assert s >= w, "input shorter than one tap window"
+    tile0 = lane_offset // LANES
+
+    rows, kvals, q, _eps, _tiles = precompute_launch(
+        table, state, max_taps=max_taps, n_out=n_out, table_strided=table_strided
+    )
+    m = rows % 8                                         # alignment residue
+    # 8-aligned DMA starts; the upper clamp (8-aligned too) only ever moves
+    # PADDING frames' windows — legal frames fit by the caller contract.
+    a = jnp.clip(rows - m, 0, ((s - w) // 8) * 8)
+    # Phase-shift each frame's taps by its residue so the aligned window
+    # multiplies directly (win[t'] pairs with k[t' - m]); 8 static pads + a
+    # vectorised select (an (N, W) element gather here would hit the slow
+    # scalar-core path).
+    shifted = [
+        jnp.pad(kvals, ((0, 0), (mm, 8 - mm)))[:, :w] for mm in range(8)
+    ]
+    kv8 = shifted[0]
+    for mm in range(1, 8):
+        kv8 = jnp.where((m == mm)[:, None], shifted[mm], kv8)  # (N, W)
+    # Group layout: (W, G*128), group g's frames in lanes g*128..g*128+8.
+    g = n_out // WIDE_FRAME_GROUP
+    kvg = kv8.reshape(g, WIDE_FRAME_GROUP, w).transpose(0, 2, 1)   # (G, W, 8)
+    kvg = jnp.pad(kvg, ((0, 0), (0, 0), (0, LANES - WIDE_FRAME_GROUP)))
+    kvg = kvg.transpose(1, 0, 2).reshape(w, g * LANES)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(lanes // LANES, g),
+        in_specs=[
+            pl.BlockSpec((w, LANES), lambda i, jf, *_: (0, jf),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (WIDE_FRAME_GROUP, LANES), lambda i, jf, *_: (jf, i),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, w, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    acc = pl.pallas_call(
+        partial(_kernel_wide_taps, w=w, tile0=tile0),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, lanes), jnp.int32),
+        interpret=interpret,
+    )(a, kvg, x)
+    out = fx.mul_shift15(acc, q[:, None])
+    if clamp_s16:
+        out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
+    return out, rows
+
+
+# ---------------------------------------------------------------------------
 # Combined multi-launch: several uniform-ratio launches in ONE XLA program
 # ---------------------------------------------------------------------------
 
@@ -850,7 +1015,8 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
 
     ``plans[i]`` is a hashable static tuple
     (kind, d, cand, max_taps, n_out, clamp_s16[, lanes, lane_offset]) with
-    kind in {"tiled", "strided", "strided_xla", "general", "oracle"}; xs[i]/states[i] are
+    kind in {"tiled", "strided", "strided_xla", "general", "wide",
+    "oracle"}; xs[i]/states[i] are
     that launch's input block and phase state. The optional
     (lanes, lane_offset) pair runs the launch over a column slice of xs[i]
     with no copy — splitting a wide fleet into several ~512-lane sub-launches
@@ -908,6 +1074,12 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
                 interpret=interpret, lanes=lanes, lane_offset=lane_offset,
                 table_strided=tstr,
                 group=32 if n_out % 256 == 0 else 16,  # ~12% faster steps
+            )
+        elif kind == "wide":  # taps > FAST_KERNEL_MAX_TAPS: DMA kernel
+            out, _ = resample_wide_taps(
+                table, x, st, max_taps=max_taps, n_out=n_out, clamp_s16=clamp,
+                interpret=interpret, lanes=lanes, lane_offset=lane_offset,
+                table_strided=tstr,
             )
         else:  # "oracle": wide-kernel gather fallback (lowlevel.FAST_KERNEL_MAX_TAPS)
             if lanes is not None and (lane_offset != 0 or lanes != x.shape[1]):

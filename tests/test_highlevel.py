@@ -88,6 +88,49 @@ def test_highlevel_script(script):
     _replay(*script)
 
 
+@pytest.mark.parametrize("in_rate,out_rate,ch", [
+    (48000, 44100, 1),    # tiled engine (the config-1b bench ratio)
+    (96000, 48000, 2),    # polyphase strided engine
+    (44100, 8000, 2),     # general engine
+])
+def test_resample_stream_bulk_fused_identical_bytes(in_rate, out_rate, ch):
+    """resample_stream(bulk=True) — the whole stream as ONE fused device
+    scan, incl. the ResampleEnd zero-flush — must emit byte-identical output
+    to the host chunk loop (VERDICT r2 item 8; the reference's chunk loop
+    clownresampler.h:1120-1176 as one device computation)."""
+    import numpy as np
+
+    from clownresampler_tpu.highlevel import HighLevelResampler
+
+    rng = np.random.default_rng(83)
+    data = rng.integers(-32768, 32768, size=(9000, ch)).astype(np.int16)
+
+    def make_input():
+        cursor = 0
+
+        def cb(total_frames: int) -> np.ndarray:
+            nonlocal cursor
+            give = min(total_frames, 997, data.shape[0] - cursor)
+            out = data[cursor : cursor + give]
+            cursor += give
+            return out
+
+        return cb
+
+    host = HighLevelResampler.init(ch, in_rate, out_rate, max(in_rate, out_rate))
+    want = host.resample_stream(make_input(), bulk=False)
+    fused = HighLevelResampler.init(ch, in_rate, out_rate, max(in_rate, out_rate))
+    got = fused.resample_stream(make_input(), bulk=True)
+    np.testing.assert_array_equal(got, want)
+
+    # empty stream: the bulk path defers to the host loop's exact semantics
+    empty = HighLevelResampler.init(ch, in_rate, out_rate, max(in_rate, out_rate))
+    got_e = empty.resample_stream(lambda n: np.zeros((0, ch), np.int16), bulk=True)
+    ref_e = HighLevelResampler.init(ch, in_rate, out_rate, max(in_rate, out_rate))
+    want_e = ref_e.resample_stream(lambda n: np.zeros((0, ch), np.int16), bulk=False)
+    np.testing.assert_array_equal(got_e, want_e)
+
+
 def test_realtime_refusal_resumes_bit_exact():
     """End-to-end output-refusal drive (VERDICT r1 item 7): a simulated audio
     device fills fixed periods, the output callback refuses when each period's

@@ -438,6 +438,38 @@ def test_strided_phases_random_fuzz():
         np.testing.assert_array_equal(np.asarray(got_w), want, err_msg="wide " + ctx)
 
 
+@pytest.mark.parametrize("in_rate,out_rate,p0,f0", [
+    (44100, 132, 0, 0),       # radius 1003 (the C-oracle ll_wide ratio class)
+    (44100, 132, 7, 0x8421),  # unaligned window starts / mid-stream phase
+    (44100, 44, 3, 0x1111),   # radius 3007 — the widest default-model ratio
+    (96000, 480, 5, 0),       # wide integer stride through the same kernel
+])
+def test_wide_taps_kernel_bit_exact(in_rate, out_rate, p0, f0):
+    """The DMA-based wide-kernel fast path (taps > FAST_KERNEL_MAX_TAPS,
+    VERDICT r2 item 5) == the oracle across the widest accepted ratios
+    (clownresampler.h:974-975: stretched radius up to 3007 at defaults)."""
+    from clownresampler_tpu.ops.pallas_resample import resample_wide_taps
+
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    state = make_device_state(p0, f0, cfg, inc)
+    max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    assert max_taps > 1024, "case must exercise the wide path"
+    n_out = 8
+    s = p0 + ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 64
+    s = -(-s // 16) * 16
+    rng = np.random.default_rng(91)
+    x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _ = resample_wide_taps(
+        table, x, state, max_taps=max_taps, n_out=n_out, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got), want, err_msg=f"{in_rate}->{out_rate} p0={p0} f0={f0}"
+    )
+
+
 def test_general_kernel_group32_bit_exact():
     """The 256-frame-step variant of the general kernel == the oracle."""
     table = jnp.asarray(lanczos_kernel_table())

@@ -156,6 +156,29 @@ def main() -> int:
     print(f"{'PASS' if ok else 'FAIL'} compiled general kernel wide (radius "
           f"{cfg.integer_stretched_kernel_radius}, taps {max_taps})")
 
+    # 3b. Shard-mapped compiled launch on a real dp=1 TPU mesh: the
+    # shard_map -> Mosaic compile path exercised on a chip, not only
+    # interpreted on the CPU mesh (VERDICT r2 item 4). Output must match the
+    # plain (non-shard-mapped) farm bit-for-bit.
+    from jax.sharding import Mesh
+    from clownresampler_tpu.parallel import ShardedStreamFarm
+
+    try:
+        mesh = Mesh(np.array(jax.devices()[:1]), ("dp",))
+        sh_farm = ShardedStreamFarm(mesh, 8, 2, 48000, 44100,
+                                    chunk_frames=1024, interpret=False)
+        ref_farm = UniformStreamFarm(8, 2, 48000, 44100, chunk_frames=1024,
+                                     split_lanes=False)
+        chunk = rng.integers(-32768, 32768, (8, 1024, 2)).astype(np.int16)
+        got_sh = np.concatenate([sh_farm.process(chunk), sh_farm.flush()], axis=1)
+        want_sh = np.concatenate([ref_farm.process(chunk), ref_farm.flush()], axis=1)
+        ok = np.array_equal(got_sh, want_sh)
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'} shard-mapped compiled farm (dp=1 TPU mesh)")
+    except Exception as e:  # a Mosaic-under-shard_map surprise must not ship
+        failures += 1
+        print(f"FAIL shard-mapped compiled farm (dp=1 TPU mesh): {type(e).__name__}: {e}")
+
     # 4. Full ratio domain on hardware: replay the C-oracle wide-kernel
     # streaming scripts (radius 1003 / 3007 — the oracle-fallback path the
     # width guard routes to on TPU) bit-for-bit.
