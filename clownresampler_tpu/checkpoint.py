@@ -205,11 +205,21 @@ def save_mixed_farm(farm) -> dict[str, Any]:
     }
 
 
-def load_mixed_farm(d: dict[str, Any]):
+def load_mixed_farm(d: dict[str, Any], mesh=None):
+    """Restore a mixed farm. Pass ``mesh`` to restore as a
+    ShardedMixedStreamFarm (every group lane-sharded over the mesh's dp
+    axis); each group's lane count must tile it, like load_farm."""
     assert d["kind"] == "mixed_farm"
     from clownresampler_tpu.farm import MixedStreamFarm
 
-    farm = MixedStreamFarm.__new__(MixedStreamFarm)
+    if mesh is None:
+        farm = MixedStreamFarm.__new__(MixedStreamFarm)
+    else:
+        from clownresampler_tpu.parallel.farm import ShardedMixedStreamFarm
+
+        farm = ShardedMixedStreamFarm.__new__(ShardedMixedStreamFarm)
+        farm.mesh = mesh
+        farm._mixed_launch_cache = {}
     farm.n_streams = d["n_streams"]
     farm.channels = d["channels"]
     farm.chunk_frames = d["chunk_frames"]
@@ -218,6 +228,6 @@ def load_mixed_farm(d: dict[str, Any]):
     farm.clamp_s16 = d.get("clamp_s16", False)
     farm.model = KernelModel(d["model_radius"], d["model_resolution"])
     farm._groups = [
-        [load_farm(g["farm"]), list(g["members"])] for g in d["groups"]
+        [load_farm(g["farm"], mesh=mesh), list(g["members"])] for g in d["groups"]
     ]
     return farm

@@ -124,6 +124,39 @@ def test_mixed_farm_checkpoint_resume():
             np.testing.assert_array_equal(ra, rb)
 
 
+def test_sharded_mixed_farm_checkpoint_resume():
+    """A mixed-farm checkpoint restores onto a device mesh
+    (ShardedMixedStreamFarm) and continues bit-identically to the plain
+    mixed restore, incl. a stream split off by adjust_stream."""
+    import numpy as np
+
+    from clownresampler_tpu.checkpoint import load_mixed_farm, save_mixed_farm
+    from clownresampler_tpu.parallel import ShardedMixedStreamFarm, make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(59)
+    ch, chunk = 1, 256
+    specs = [(48000, 44100)] * 512 + [(96000, 48000)] * 512
+    data = [rng.integers(-32768, 32768, size=(2 * chunk, ch)).astype(np.int16)
+            for _ in specs]
+    a = ShardedMixedStreamFarm(mesh, specs, ch, chunk_frames=chunk,
+                               interpret=True, max_radius=8)
+    a.process([d[:chunk] for d in data])
+    assert a.adjust_stream(0, 32000, 48000)
+    snap = save_mixed_farm(a)
+    b = load_mixed_farm(snap, mesh=mesh)
+    assert isinstance(b, ShardedMixedStreamFarm)
+    c = load_mixed_farm(snap)  # plain restore of the same snapshot
+    outs = []
+    for farm in (a, b, c):
+        step = farm.process([d[chunk:] for d in data])
+        tail = farm.flush()
+        outs.append([np.concatenate([s, t], axis=0) for s, t in zip(step, tail)])
+    for i, (ra, rb, rc) in enumerate(zip(*outs)):
+        np.testing.assert_array_equal(rb, ra, err_msg=f"sharded stream {i}")
+        np.testing.assert_array_equal(rc, ra, err_msg=f"plain stream {i}")
+
+
 def test_sharded_farm_checkpoint_resume():
     """A farm checkpoint restores onto a device mesh (ShardedStreamFarm) and
     continues bit-identically to the unsharded restore."""
