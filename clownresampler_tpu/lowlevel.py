@@ -316,10 +316,7 @@ def resample_scan_fused(
             return out
     else:
         assert n_out % 128 == 0, "general engine: n_out must be a multiple of 128"
-        w_load = 16
-        while w_load < max_taps + 8:
-            w_load *= 2
-        slack = w_load + 8
+        slack = (max_taps + 8) + 8   # the engine's aligned-load window + align
 
         def engine(buffer, st):
             out, _ = resample_uniform_lanes_general(

@@ -377,9 +377,10 @@ def resample_uniform_lanes_general(
     assert lane_offset + lanes <= l
     assert n_out % (FRAMES_PER_TILE * group) == 0
     tile0 = lane_offset // LANES
-    w_load = 16
-    while w_load < max_taps + 8:
-        w_load *= 2
+    # Exactly the MAC rows: the roll this kernel used to do needed a
+    # power-of-two window; the residue now lives in the kernel column, so
+    # the load is just taps+8 rows (multiple of 8 — max_taps is).
+    w_load = max_taps + 8
     rows, kvals, q, eps, _tile_rows = precompute_launch(
         table, state, max_taps=max_taps, n_out=n_out, table_strided=table_strided
     )
@@ -892,7 +893,7 @@ def _kernel_wide_taps(
     jf = pl.program_id(1)
 
     def dma(slot, n_local):
-        a_n = a_ref[jf * WIDE_FRAME_GROUP + n_local]
+        a_n = pl.multiple_of(a_ref[jf * WIDE_FRAME_GROUP + n_local], 8)
         return pltpu.make_async_copy(
             x_ref.at[pl.ds(a_n, w), pl.ds((i + tile0) * LANES, LANES)],
             scratch.at[slot],
@@ -981,7 +982,10 @@ def resample_wide_taps(
         in_specs=[
             pl.BlockSpec((w, LANES), lambda i, jf, *_: (0, jf),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # Explicitly HBM: pl.ANY let the compiler pull the whole input
+            # into VMEM, defeating the kernel's purpose (and its tiled-memref
+            # slicing then demands alignment proofs the DMA path doesn't).
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
             (WIDE_FRAME_GROUP, LANES), lambda i, jf, *_: (jf, i),

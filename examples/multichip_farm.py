@@ -76,6 +76,22 @@ def main() -> None:
           f"(stream 2 re-rated mid-stream; others untouched)")
     assert lens[2] < lens[0]
 
+    # --- mixed-ratio fleet over the mesh ------------------------------------
+    # Two ratio groups, each lane-sharded over dp; every group's kernel runs
+    # inside ONE shard-mapped program per chunk.
+    from clownresampler_tpu.parallel import ShardedMixedStreamFarm
+
+    half = n_streams // 2
+    specs = [(48000, 44100)] * half + [(96000, 48000)] * (n_streams - half)
+    shmixed = ShardedMixedStreamFarm(mesh, specs, 2, chunk_frames=chunk,
+                                     interpret=interpret)
+    outs = shmixed.process([data[i, :chunk] for i in range(n_streams)])
+    tails = shmixed.flush()
+    print(f"sharded mixed farm: {half}+{n_streams - half} streams in 2 ratio "
+          f"groups over {n_devices} devices -> "
+          f"{outs[0].shape[0] + tails[0].shape[0]} / "
+          f"{outs[-1].shape[0] + tails[-1].shape[0]} frames/stream")
+
 
 if __name__ == "__main__":
     main()
