@@ -476,8 +476,10 @@ def run_config(which: str) -> None:
         from clownresampler_tpu.ops.pallas_resample import strided_table_device
 
         in_rate, out_rate, lanes, n_in = 44100, 8000, 2048, 8192
-        split = 4  # independent sub-fleet carries inside the scan (VERDICT r2
-                   # item 1): within a step the 4 sub-fleet kernels overlap
+        # independent sub-fleet carries inside the scan (VERDICT r2 item 1):
+        # within a step the sub-fleet kernels overlap. 4 (512-lane fleets)
+        # measured best; CR_SCAN_SPLIT overrides for probes.
+        split = int(os.environ.get("CR_SCAN_SPLIT", "4"))
         cfg = configure(in_rate, out_rate, in_rate)
         inc = fx.calculate_ratio(in_rate, out_rate)
         radius = cfg.integer_stretched_kernel_radius

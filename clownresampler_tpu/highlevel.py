@@ -288,12 +288,17 @@ class HighLevelResampler:
         import jax.numpy as jnp
 
         from clownresampler_tpu.lowlevel import (
+            FAST_KERNEL_MAX_TAPS,
             make_device_state,
             resample_scan_fused,
         )
         from clownresampler_tpu.ops.pallas_resample import strided_table_device
 
         ll = self.low_level
+        if ll._max_taps > FAST_KERNEL_MAX_TAPS:
+            # The fused scan's engines are the VMEM-resident kernels; wide
+            # kernels stream through the host loop's per-tile wide dispatch.
+            return None
         cfg = ll.config
         r = cfg.integer_stretched_kernel_radius
         ch = self.channels

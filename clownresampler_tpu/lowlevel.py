@@ -273,6 +273,11 @@ def resample_scan_fused(
 
     k, n_in, l = chunks.shape
     assert n_in < 1 << 14
+    assert max_taps <= FAST_KERNEL_MAX_TAPS, (
+        "the fused scan's engines keep their input block VMEM-resident; "
+        "wide kernels stream via resample_scan (oracle engine) or the "
+        "LowLevelResampler tile loop (resample_wide_taps dispatch)"
+    )
     plan = plan_uniform(increment, n_out)
     if plan["kernel"] == "tiled":
         assert n_out % 64 == 0, "tiled engine: n_out must be a multiple of 64"
