@@ -556,7 +556,8 @@ def run_config(which: str) -> None:
 
         def body_wide(x):
             out, _ = resample_wide_taps(
-                table, x, state, max_taps=taps, n_out=n_out, table_strided=tstr)
+                table, x, state, max_taps=taps, n_out=n_out, d=inc >> 16,
+                table_strided=tstr)
             return x.at[0, 0].add(out[0, 0] & 1)
 
         _report("config8 wide kernel 44.1k->132 radius 1003 x512 stereo (DMA fast path)",

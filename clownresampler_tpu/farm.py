@@ -60,8 +60,9 @@ LANE_SPLIT = 512
 
 def compute_lane_slices(lanes: int, max_taps: int, capacity: int) -> list:
     """[(width, offset), ...] of the independent staging sub-buffers for a
-    fleet of ``lanes`` lanes (see LANE_SPLIT; oracle-routed farms — wide
-    kernels or VMEM-unsafe capacities — stay unsplit)."""
+    fleet of ``lanes`` lanes (see LANE_SPLIT; wide-kernel farms — the DMA
+    kernel reads HBM directly — and VMEM-unsafe oracle-routed capacities
+    stay unsplit)."""
     use_oracle = max_taps > FAST_KERNEL_MAX_TAPS or capacity > VMEM_SAFE_INPUT_ROWS
     if use_oracle or lanes <= LANE_SPLIT:
         return [(lanes, 0)]
@@ -132,8 +133,11 @@ class UniformStreamFarm:
         # the natural count, and the strided path's (n_pad - n_out)*d over-read
         # (d <= kernel_scale <= radius_bound/radius + 1, so 8*d is bounded by
         # ~3*radius_bound for the default radius 3). Wide kernels beyond
-        # FAST_KERNEL_MAX_TAPS route to the clamped-gather oracle instead,
-        # which needs no load slack.
+        # FAST_KERNEL_MAX_TAPS route to the DMA wide kernel
+        # (ops.resample_wide_taps), whose aligned per-frame windows over-read
+        # at most 8 rows past a legal frame's window end; legal windows end
+        # at most at the fill row <= capacity - slack, so slack = 16 >= 8
+        # keeps every legal read in bounds (padding frames clamp in-kernel).
         if self._max_taps > FAST_KERNEL_MAX_TAPS:
             slack = 16
         else:
@@ -293,7 +297,7 @@ class UniformStreamFarm:
                 WIDE_MAX_LAUNCH_FRAMES,
             )
 
-            kind, d, cand = "wide", None, None
+            kind, d, cand = "wide", self.increment >> 16, None
             step = WIDE_MAX_LAUNCH_FRAMES
         else:
             plan = plan_uniform(self.increment, 0)
@@ -351,15 +355,17 @@ class UniformStreamFarm:
 
     def _spec_tstr(self, specs: list) -> tuple:
         """Per-spec strided kernel table (the fast row-gather LUT layout)
-        for the tiled/general kinds; None otherwise."""
+        for the kinds whose precompute gathers per-frame taps; None for the
+        strided/oracle kinds (constant-fraction geometry / plain gather)."""
         tstr = None
-        if any(p[0] in ("tiled", "general") for *_, p in specs):
+        if any(p[0] in ("tiled", "general", "wide") for *_, p in specs):
             tstr = strided_table_device(
                 self.model.radius, self.model.resolution,
                 self.config.kernel_step_size, self._max_taps,
             )
         return tuple(
-            tstr if p[0] in ("tiled", "general") else None for *_, p in specs
+            tstr if p[0] in ("tiled", "general", "wide") else None
+            for *_, p in specs
         )
 
     def _spec_inputs(self, specs: list) -> tuple:

@@ -233,21 +233,19 @@ class HighLevelResampler:
         pristine resampler (nothing primed or buffered yet) and leaves the
         internal buffer cursors in a generic post-flush state rather than
         the host loop's exact final geometry. ``bulk=None`` auto-selects it
-        on TPU for fast-path kernel widths.
+        on TPU; the host loop quietly serves the cases the fused path
+        declines (non-pristine state, wide kernels, empty streams, streams
+        past the device-memory cap).
         """
         if bulk is None:
             import jax
 
-            from clownresampler_tpu.lowlevel import FAST_KERNEL_MAX_TAPS
-
-            bulk = (
-                jax.default_backend() == "tpu"
-                and self._is_pristine()
-                and self.low_level._max_taps <= FAST_KERNEL_MAX_TAPS
-            )
-        if bulk:
-            assert self._is_pristine(), "bulk path requires a pristine resampler"
-            out = self._resample_stream_fused(input_callback)
+            bulk = jax.default_backend() == "tpu"
+        if bulk and self._is_pristine():
+            # falls back to the host loop (None) for wide kernels, empty or
+            # over-long streams — same bytes either way; frames the fused
+            # path already drained from the callback are replayed first
+            out, input_callback = self._resample_stream_fused(input_callback)
             if out is not None:
                 return out
         collected: list = []
@@ -269,20 +267,31 @@ class HighLevelResampler:
             and ll.position_fractional == 0
         )
 
+    # Device-memory budget for one bulk scan invocation (int16 lane-padded
+    # input + int32 lane-padded output both live in HBM at once); streams
+    # past it take the host chunk loop. Segmented bulk scans are future work.
+    BULK_MAX_DEVICE_BYTES = 3 << 30
+
     def _resample_stream_fused(
         self, input_callback: InputCallback, n_in: int = 2048,
         interpret: Optional[bool] = None,
-    ) -> Optional[np.ndarray]:
+    ) -> tuple:
         """Whole-stream resample as one fused lax.scan (see resample_stream).
 
-        Drains the input callback into (K, n_in, 128) lane-padded chunks
-        (real channels in the first columns), appends the trailing `radius`
-        zero-flush frames, runs lowlevel.resample_scan_fused once, and
-        truncates to the exact natural frame count ceil(N<<16 / increment)
-        — the count the C high-level path emits for an N-frame stream with
-        automatic edge padding (== LowLevel over a radius-padded buffer,
-        SURVEY.md section 4 finding 1). Returns None for an empty stream
-        (the host path reproduces that edge exactly).
+        Drains the input callback into channel-width host chunks, lane-pads
+        them to the 128-lane engine width ON DEVICE (the host never holds
+        the padded array), appends the trailing `radius` zero-flush frames,
+        runs lowlevel.resample_scan_fused once, and truncates to the exact
+        natural frame count ceil(N<<16 / increment) — the count the C
+        high-level path emits for an N-frame stream with automatic edge
+        padding (== LowLevel over a radius-padded buffer, SURVEY.md
+        section 4 finding 1).
+
+        Returns (out, replay_callback). ``out`` is None when the fused path
+        declines (wide kernels, empty streams, streams past the device
+        budget); ``replay_callback`` then serves any already-drained frames
+        before delegating to the original callback, so the host loop can
+        take over with no data loss.
         """
         import jax
         import jax.numpy as jnp
@@ -294,34 +303,51 @@ class HighLevelResampler:
         )
         from clownresampler_tpu.ops.pallas_resample import strided_table_device
 
+        pieces: list = []
+
+        def replay_callback(total_frames: int) -> np.ndarray:
+            if pieces:
+                got = pieces[0]
+                if got.shape[0] > total_frames:
+                    pieces[0] = got[total_frames:]
+                    return got[:total_frames]
+                pieces.pop(0)
+                return got
+            return np.asarray(input_callback(total_frames))
+
         ll = self.low_level
         if ll._max_taps > FAST_KERNEL_MAX_TAPS:
             # The fused scan's engines are the VMEM-resident kernels; wide
             # kernels stream through the host loop's per-tile wide dispatch.
-            return None
+            return None, replay_callback
         cfg = ll.config
         r = cfg.integer_stretched_kernel_radius
         ch = self.channels
         inc = ll.increment
 
-        pieces = []
+        lanes = 128                       # engine lane-tile width
+        # device bytes per input frame: int16 lane-padded input + int32
+        # lane-padded output scaled by the rate ratio
+        per_frame = 2 * lanes + (65536 * 4 * lanes) // inc + 1
+        max_frames = self.BULK_MAX_DEVICE_BYTES // per_frame
         n = 0
-        while True:
+        while n <= max_frames:
             got = np.asarray(input_callback(n_in))
             m = got.shape[0] if got.size else 0
             if m == 0:
                 break
             pieces.append(got.reshape(m, ch))
             n += m
-        if n == 0:
-            return None
+        if n == 0 or n > max_frames:
+            return None, replay_callback
 
-        lanes = 128                       # engine lane-tile width
         total = n + r                     # stream + ResampleEnd zero flush
         k = -(-total // n_in)
-        buf = np.zeros((k * n_in, lanes), np.int16)
-        buf[:n, :ch] = np.concatenate(pieces, axis=0)
-        chunks = jnp.asarray(buf.reshape(k, n_in, lanes))
+        buf = np.zeros((k * n_in, ch), np.int16)
+        buf[:n] = np.concatenate(pieces, axis=0)
+        chunks = jnp.pad(                 # lane pad on device, not the host
+            jnp.asarray(buf.reshape(k, n_in, ch)), ((0, 0), (0, 0), (0, lanes - ch))
+        )
 
         max_taps = ll._max_taps
         n_cap = -(-(((n_in + 2 * r) << 16) // inc + 8) // 128) * 128
@@ -348,7 +374,7 @@ class HighLevelResampler:
         ll._advance(n_total)
         ll.position_integer = 0
         self.trailing_padding_frames_remaining = 0
-        return out
+        return out, replay_callback
 
     def buffer_fill_frames(self) -> int:
         return (self.input_buffer_end - self.input_buffer_start) // self.channels

@@ -662,7 +662,8 @@ class LowLevelResampler:
                 )
                 out, _ = resample_wide_taps(
                     table, jnp.asarray(window), state,
-                    max_taps=self._max_taps, n_out=n_pad, table_strided=tstr_w,
+                    max_taps=self._max_taps, n_out=n_pad,
+                    d=self.increment >> 16, table_strided=tstr_w,
                 )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             else:

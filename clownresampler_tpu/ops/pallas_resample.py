@@ -104,25 +104,24 @@ def precompute_launch(table, state: DeviceState, *, max_taps: int, n_out: int,
     return rows, kvals, q, eps, tile_rows
 
 
-# (client, array) per (client id, config): dryrun_multichip / the test
-# conftest re-initialize backends mid-process (clear_backends), which
-# invalidates earlier device arrays — so the key is the backend CLIENT's
-# identity, not its name (a fresh same-named client must miss). The entry
-# holds a strong reference to the client, so its id cannot be reused while
-# the entry exists.
+# config -> (client, array): dryrun_multichip / the test conftest
+# re-initialize backends mid-process (clear_backends), which invalidates
+# earlier device arrays — so each entry remembers WHICH backend client built
+# it and is rebuilt (replacing the entry, releasing the dead client and its
+# arrays) whenever the active client differs. Keying on the config alone
+# bounds the cache at one live entry per config.
 _strided_table_cache: dict = {}
 
 
 def strided_table_device(radius: int, resolution: int, step: int, max_taps: int):
-    """Device-resident KernelModel.strided_table, cached per (backend client,
-    config) so hot paths pay the (tiny) host->device transfer once per
-    backend lifetime."""
+    """Device-resident KernelModel.strided_table, cached per config for the
+    lifetime of the backend client that built it."""
     import jax.extend  # registers jax.extend.backend (not exported by default)
 
     from clownresampler_tpu.models import KernelModel
 
     client = jax.extend.backend.get_backend()
-    key = (id(client), radius, resolution, step, max_taps)
+    key = (radius, resolution, step, max_taps)
     hit = _strided_table_cache.get(key)
     if hit is None or hit[0] is not client:
         arr = jnp.asarray(KernelModel(radius, resolution).strided_table(step, max_taps))
@@ -142,6 +141,27 @@ def _macc(win32, kval, acc):
     """
     p = win32 * kval
     return acc + ((p + ((p >> 31) & 0xFFFF)) >> 16)
+
+
+def _phase_shift_kvals(kvals, m):
+    """Delay each frame's tap vector by its window's 8-alignment residue.
+
+    Returns (N, T+8): row n holds k_n shifted right by m[n] with zeros
+    elsewhere, so an 8-aligned window load multiplies directly — win[t']
+    pairs with k[t' - m] and the zero taps contribute zero truncated terms
+    (exact under the reference's per-term trunc, clownresampler.h:1020).
+    This replaces in-kernel rolls in the general and wide kernels. Built
+    with 8 static pads + a vectorised select: an (N, T+8) element gather
+    here would hit the slow scalar-core path.
+    """
+    t = kvals.shape[1]
+    shifted = [
+        jnp.pad(kvals, ((0, 0), (mm, 8 - mm)))[:, : t + 8] for mm in range(8)
+    ]
+    kv8 = shifted[0]
+    for mm in range(1, 8):
+        kv8 = jnp.where((m == mm)[:, None], shifted[mm], kv8)
+    return kv8
 
 
 def window_rows_needed(max_taps: int, d: int, cand: int) -> int:
@@ -392,14 +412,7 @@ def resample_uniform_lanes_general(
     rows_clamped = jnp.clip(rows, 0, max(s - w_load, 0))
     m = rows_clamped % 8
     rows_launch = rows_clamped - m
-    shifted = [
-        jnp.pad(kvals, ((0, 0), (mm, 8 - mm)))[:, : max_taps + 8]
-        for mm in range(8)
-    ]
-    kv8 = shifted[0]
-    for mm in range(1, 8):
-        kv8 = jnp.where((m == mm)[:, None], shifted[mm], kv8)    # (N, T+8)
-    kv = kv8.T                                                   # (T+8, N)
+    kv = _phase_shift_kvals(kvals, m).T                          # (T+8, N)
     meta = jnp.stack([eps, q], axis=1)
     meta = jnp.pad(meta, ((0, 0), (0, LANES - 2)))
 
@@ -865,15 +878,18 @@ WIDE_MAX_LAUNCH_FRAMES = 64   # caps the duplicated kv layout's footprint
 
 
 def _kernel_wide_taps(
-    a_ref,          # scalar prefetch (N_pad,): clamped 8-aligned window starts
+    g_ref,          # scalar prefetch (G,): clamped 8-aligned GROUP base rows
+    o_ref,          # scalar prefetch (N_pad,): per-frame window offsets
+                    # within the group window (8-aligned, pre-clamped in XLA)
     kv_ref,         # (W, 128) block per frame group: col n = frame n's
                     # phase-shifted tap vector (see resample_wide_taps)
-    x_ref,          # FULL (S, L) input in ANY memory (DMA'd manually)
+    x_ref,          # FULL (S, L) input in HBM (DMA'd manually)
     out_ref,        # (8, 128) block: per-frame raw tap sums
-    scratch,        # VMEM (2, W, 128) double-buffered window slots
-    sems,           # DMA semaphores (2,)
+    scratch,        # VMEM (span, 128) group-window buffer
+    sem,            # DMA semaphore
     *,
     w: int,
+    span: int,      # static rows per group window (>= 7*d + w + slack)
     tile0: int,
 ):
     """Raw tap sums for 8 output frames with the input resident in HBM.
@@ -882,32 +898,33 @@ def _kernel_wide_taps(
     3007, tap windows up to ~24,576 samples) with the same scalar loop as
     narrow ones (clownresampler.h:974-975, 986-1035); the VMEM-resident
     fast kernels cannot — their whole input block must fit on chip. Here
-    each frame's full tap window is ONE async HBM->VMEM DMA (double-buffered
-    across frames so the copy overlaps the previous frame's MAC), and the
-    multiply runs against a per-frame kernel column whose taps were
-    pre-shifted by the window's 8-alignment residue in XLA — so there is no
-    in-kernel roll at all. Normalisation (1025-1033) happens in the XLA
-    epilogue, where the per-frame reciprocal already lives.
+    ONE async HBM->VMEM DMA per 8-frame GROUP copies the union of the
+    group's tap windows (consecutive wide windows overlap by ~(T-d)/T, so
+    the union span is ~(7d+T) rows vs 8T for per-frame copies — ~3.7x less
+    traffic at radius 1003); each frame's window is then a dynamic aligned
+    slice of the group window, multiplying against a kernel column whose
+    taps were pre-shifted by the window's 8-alignment residue in XLA — no
+    in-kernel roll. Normalisation (1025-1033) happens in the XLA epilogue,
+    where the per-frame reciprocal already lives.
     """
     i = pl.program_id(0)
     jf = pl.program_id(1)
 
-    def dma(slot, n_local):
-        a_n = pl.multiple_of(a_ref[jf * WIDE_FRAME_GROUP + n_local], 8)
-        return pltpu.make_async_copy(
-            x_ref.at[pl.ds(a_n, w), pl.ds((i + tile0) * LANES, LANES)],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+    base = pl.multiple_of(g_ref[jf], 8)
+    dma = pltpu.make_async_copy(
+        x_ref.at[pl.ds(base, span), pl.ds((i + tile0) * LANES, LANES)],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
 
-    dma(0, 0).start()
     rows_out = []
     for n in range(WIDE_FRAME_GROUP):
-        slot = n % 2
-        if n + 1 < WIDE_FRAME_GROUP:
-            dma((n + 1) % 2, n + 1).start()
-        dma(slot, n).wait()
-        win = scratch[slot]                               # (W, 128)
+        # frame window = aligned slice of the group window; the alignment
+        # residue is already folded into kv (offsets are 8-aligned)
+        off = pl.multiple_of(o_ref[jf * WIDE_FRAME_GROUP + n], 8)
+        win = scratch[pl.ds(off, w), :]                   # (W, 128)
         kcol = kv_ref[:, n : n + 1]                       # (W, 1)
         terms = _macc(win, kcol, jnp.zeros_like(win))
         rows_out.append(jnp.sum(terms, axis=0, keepdims=True))
@@ -916,17 +933,19 @@ def _kernel_wide_taps(
 
 @partial(
     jax.jit,
-    static_argnames=("max_taps", "n_out", "clamp_s16", "interpret",
+    static_argnames=("max_taps", "n_out", "d", "clamp_s16", "interpret",
                      "lanes", "lane_offset"),
 )
 def resample_wide_taps(
     table,
-    x,                   # (S, L) int32; S >= last window row + max_taps + 8,
-                         # S a multiple of 8. NOT VMEM-bounded (stays in HBM).
+    x,                   # (S, L) int32; S >= last window row + max_taps + 8.
+                         # NOT VMEM-bounded (stays in HBM).
     state: DeviceState,
     *,
     max_taps: int,       # static; any width the reference accepts
     n_out: int,          # static; multiple of 8, <= WIDE_MAX_LAUNCH_FRAMES
+    d: int,              # static stride bound: increment >> 16 (sizes the
+                         # per-group DMA window)
     clamp_s16: bool = False,
     interpret: bool = False,
     lanes: Optional[int] = None,
@@ -937,10 +956,11 @@ def resample_wide_taps(
 
     Covers the full accepted configure domain (kernel_scale < 0x1000, radius
     up to 3007 at defaults — clownresampler.h:974-975): the input never
-    enters a VMEM block, so there is no input-row budget; each frame's
-    window arrives by per-frame DMA (see _kernel_wide_taps). Works for any
-    increment (per-frame geometry); bit-exact vs ops.convolve
-    (tests/test_pallas.py) and vs the C oracle scripts at radius 1003/3007.
+    enters a VMEM block, so there is no input-row budget; each 8-frame
+    group's union tap window arrives by one DMA (see _kernel_wide_taps).
+    Works for any increment with hi word == d (per-frame geometry);
+    bit-exact vs ops.convolve (tests/test_pallas.py) and vs the C oracle
+    scripts at radius 1003/3007.
     Returns (out (n_out, lanes) int32|int16, rows (n_out,)).
     """
     s, l = x.shape
@@ -951,34 +971,35 @@ def resample_wide_taps(
     assert n_out <= WIDE_MAX_LAUNCH_FRAMES, "tile wide launches (dispatchers do)"
     w = max_taps + 8
     assert s >= w, "input shorter than one tap window"
+    # Union span of a group's 8 windows: rows advance <= d+1 per frame plus
+    # the group base's alignment loss. Capped by the buffer itself (legal
+    # frames' windows all fit in s, so a window of floor8(s) rows covers any
+    # group whose formula span exceeds the buffer).
+    span = min(-(-(7 * d + w + 16) // 8) * 8, (s // 8) * 8)
     tile0 = lane_offset // LANES
 
     rows, kvals, q, _eps, _tiles = precompute_launch(
         table, state, max_taps=max_taps, n_out=n_out, table_strided=table_strided
     )
     m = rows % 8                                         # alignment residue
-    # 8-aligned DMA starts; the upper clamp (8-aligned too) only ever moves
-    # PADDING frames' windows — legal frames fit by the caller contract.
+    # 8-aligned per-frame window starts; the upper clamps (8-aligned too)
+    # only ever move PADDING frames' windows — legal frames fit by the
+    # caller contract.
     a = jnp.clip(rows - m, 0, ((s - w) // 8) * 8)
-    # Phase-shift each frame's taps by its residue so the aligned window
-    # multiplies directly (win[t'] pairs with k[t' - m]); 8 static pads + a
-    # vectorised select (an (N, W) element gather here would hit the slow
-    # scalar-core path).
-    shifted = [
-        jnp.pad(kvals, ((0, 0), (mm, 8 - mm)))[:, :w] for mm in range(8)
-    ]
-    kv8 = shifted[0]
-    for mm in range(1, 8):
-        kv8 = jnp.where((m == mm)[:, None], shifted[mm], kv8)  # (N, W)
+    gbase = jnp.clip(a[::WIDE_FRAME_GROUP], 0, ((s - span) // 8) * 8)  # (G,)
+    offs = jnp.clip(
+        a - jnp.repeat(gbase, WIDE_FRAME_GROUP), 0, span - w
+    )                                                    # (N,) 8-aligned
+    kv8 = _phase_shift_kvals(kvals, m)                   # (N, W)
     # Group layout: (W, G*128), group g's frames in lanes g*128..g*128+8.
-    g = n_out // WIDE_FRAME_GROUP
-    kvg = kv8.reshape(g, WIDE_FRAME_GROUP, w).transpose(0, 2, 1)   # (G, W, 8)
+    n_groups = n_out // WIDE_FRAME_GROUP
+    kvg = kv8.reshape(n_groups, WIDE_FRAME_GROUP, w).transpose(0, 2, 1)
     kvg = jnp.pad(kvg, ((0, 0), (0, 0), (0, LANES - WIDE_FRAME_GROUP)))
-    kvg = kvg.transpose(1, 0, 2).reshape(w, g * LANES)
+    kvg = kvg.transpose(1, 0, 2).reshape(w, n_groups * LANES)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(lanes // LANES, g),
+        num_scalar_prefetch=2,
+        grid=(lanes // LANES, n_groups),
         in_specs=[
             pl.BlockSpec((w, LANES), lambda i, jf, *_: (0, jf),
                          memory_space=pltpu.VMEM),
@@ -992,16 +1013,16 @@ def resample_wide_taps(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, w, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((span, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     acc = pl.pallas_call(
-        partial(_kernel_wide_taps, w=w, tile0=tile0),
+        partial(_kernel_wide_taps, w=w, span=span, tile0=tile0),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, lanes), jnp.int32),
         interpret=interpret,
-    )(a, kvg, x)
+    )(gbase, offs, kvg, x)
     out = fx.mul_shift15(acc, q[:, None])
     if clamp_s16:
         out = jnp.clip(out, -0x7FFF, 0x7FFF).astype(jnp.int16)
@@ -1081,9 +1102,9 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
             )
         elif kind == "wide":  # taps > FAST_KERNEL_MAX_TAPS: DMA kernel
             out, _ = resample_wide_taps(
-                table, x, st, max_taps=max_taps, n_out=n_out, clamp_s16=clamp,
-                interpret=interpret, lanes=lanes, lane_offset=lane_offset,
-                table_strided=tstr,
+                table, x, st, max_taps=max_taps, n_out=n_out, d=d,
+                clamp_s16=clamp, interpret=interpret, lanes=lanes,
+                lane_offset=lane_offset, table_strided=tstr,
             )
         else:  # "oracle": wide-kernel gather fallback (lowlevel.FAST_KERNEL_MAX_TAPS)
             if lanes is not None and (lane_offset != 0 or lanes != x.shape[1]):

@@ -131,6 +131,51 @@ def test_resample_stream_bulk_fused_identical_bytes(in_rate, out_rate, ch):
     np.testing.assert_array_equal(got_e, want_e)
 
 
+def test_resample_stream_bulk_fallbacks_lossless():
+    """When the fused bulk path declines (stream past the device budget, or
+    a non-pristine resampler), the host loop takes over with every
+    already-drained frame replayed — identical bytes, no data loss."""
+    import numpy as np
+
+    from clownresampler_tpu.highlevel import HighLevelResampler
+
+    rng = np.random.default_rng(89)
+    data = rng.integers(-32768, 32768, size=(6000, 1)).astype(np.int16)
+
+    def make_input():
+        cursor = 0
+
+        def cb(total_frames: int) -> np.ndarray:
+            nonlocal cursor
+            give = min(total_frames, 613, data.shape[0] - cursor)
+            out = data[cursor : cursor + give]
+            cursor += give
+            return out
+
+        return cb
+
+    ref = HighLevelResampler.init(1, 48000, 44100, 44100)
+    want = ref.resample_stream(make_input(), bulk=False)
+
+    # force the device-budget overflow mid-drain: frames already pulled from
+    # the callback must be replayed into the host loop
+    tiny = HighLevelResampler.init(1, 48000, 44100, 44100)
+    tiny.BULK_MAX_DEVICE_BYTES = 1 << 20      # ~2k-frame cap
+    got = tiny.resample_stream(make_input(), bulk=True)
+    np.testing.assert_array_equal(got, want)
+
+    # non-pristine resampler: bulk=True quietly uses the host loop
+    busy = HighLevelResampler.init(1, 48000, 44100, 44100)
+    inp = make_input()
+    busy.resample(inp, output_limit=37)       # primes + buffers state
+    rest_bulk = busy.resample_stream(inp, bulk=True)
+    busy2 = HighLevelResampler.init(1, 48000, 44100, 44100)
+    inp2 = make_input()
+    busy2.resample(inp2, output_limit=37)
+    rest_host = busy2.resample_stream(inp2, bulk=False)
+    np.testing.assert_array_equal(rest_bulk, rest_host)
+
+
 def test_realtime_refusal_resumes_bit_exact():
     """End-to-end output-refusal drive (VERDICT r1 item 7): a simulated audio
     device fills fixed periods, the output callback refuses when each period's

@@ -463,7 +463,8 @@ def test_wide_taps_kernel_bit_exact(in_rate, out_rate, p0, f0):
     x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
     want = np.asarray(_oracle(table, x, state, max_taps, n_out))
     got, _ = resample_wide_taps(
-        table, x, state, max_taps=max_taps, n_out=n_out, interpret=True
+        table, x, state, max_taps=max_taps, n_out=n_out, d=inc >> 16,
+        interpret=True,
     )
     np.testing.assert_array_equal(
         np.asarray(got), want, err_msg=f"{in_rate}->{out_rate} p0={p0} f0={f0}"

@@ -136,6 +136,23 @@ def test_scan_tiled_back_compat_alias():
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
 
 
+def test_scan_fused_rejects_wide_kernels():
+    """The fused scan's engines are VMEM-resident; widths past the guard
+    must fail loudly (the streaming alternative is the LowLevelResampler
+    tile loop with the DMA wide kernel), not OOM in Mosaic."""
+    cfg = configure(44100, 132, 44100)      # radius 1003, taps 2008
+    inc = fx.calculate_ratio(44100, 132)
+    r = cfg.integer_stretched_kernel_radius
+    max_taps = -(-2 * r // 8) * 8
+    table = jnp.asarray(lanczos_kernel_table())
+    state = make_device_state(0, 0, cfg, inc)
+    chunks = jnp.zeros((2, 256, 128), jnp.int32)
+    with pytest.raises(AssertionError, match="VMEM-resident"):
+        resample_scan_fused(
+            table, chunks, state, max_taps=max_taps, n_out=128, radius=r,
+            increment=inc, interpret=True)
+
+
 def test_scan_backlog_flag_on_undersized_n_out():
     """Advisor regression: an undersized static n_out must raise the backlog
     flag instead of silently producing wrong output."""
