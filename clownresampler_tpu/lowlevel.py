@@ -321,7 +321,9 @@ def resample_scan_fused(
             return out
     else:
         assert n_out % 128 == 0, "general engine: n_out must be a multiple of 128"
-        slack = (max_taps + 8) + 8   # the engine's aligned-load window + align
+        from clownresampler_tpu.ops.pallas_resample import general_w_load
+
+        slack = general_w_load(max_taps)[0] + 8   # the engine's window + align
 
         def engine(buffer, st):
             out, _ = resample_uniform_lanes_general(

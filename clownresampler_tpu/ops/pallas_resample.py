@@ -322,40 +322,69 @@ def resample_uniform_lanes_tiled(
 # General-stride kernel: any increment (wide non-integer downsampling)
 # ---------------------------------------------------------------------------
 
+# Widths up to this run the roll-free (kv-shift) general kernel; larger
+# windows use the roll path: without the roll serializing each frame's
+# dataflow, Mosaic keeps many (w_load, 128) temporaries live at once and
+# blows the 16M scoped-vmem stack at w_load ~1024 (measured: 28M requested
+# for taps 1016 — the roll variant compiles and runs the same width fine).
+GENERAL_SHIFT_MAX_WLOAD = 256
+
+
+def general_w_load(max_taps: int) -> tuple:
+    """(w_load, shift_kv) for the general kernel at this tap width."""
+    if max_taps + 8 <= GENERAL_SHIFT_MAX_WLOAD:
+        return max_taps + 8, True
+    w = 16
+    while w < max_taps + 8:
+        w *= 2
+    return w, False
+
+
 def _kernel_general(
-    rows_ref,       # scalar prefetch (N,): per-frame ALIGNED window starts
+    rows_ref,       # scalar prefetch (N,): per-frame window starts (ALIGNED
+                    # when shift_kv, raw otherwise)
     meta_ref,       # (8*G, 128) block: col 1 = q (col 0 unused here)
-    kv_ref,         # (T+8, 8*G) block: phase-shifted kernel values, taps on
-                    # sublanes (col n is frame n's taps delayed by its
-                    # 8-alignment residue — see resample_uniform_lanes_general)
+    kv_ref,         # (T+8 | T, 8*G) block: kernel values, taps on sublanes
+                    # (phase-shifted per frame when shift_kv — see
+                    # resample_uniform_lanes_general)
     x_ref,          # (S, 128) lane-tile block, int32
     out_ref,        # (8*G, 128) block
     *,
     max_taps: int,
-    w_load: int,    # static aligned window rows (power of two >= T+8)
+    w_load: int,    # static window rows (see general_w_load)
     group: int,
     clamp_s16: bool,
+    shift_kv: bool,
 ):
     """Per-frame windows with taps on the sublane axis.
 
     For increments >= 2*2^16 consecutive frames' windows no longer overlap
     enough to share a tile load, so each frame slices its own aligned
-    window; the alignment residue is folded into the KERNEL column in XLA
-    (taps pre-shifted by base%8, zeros elsewhere — exact, since a zero tap
+    window. With ``shift_kv`` (taps <= GENERAL_SHIFT_MAX_WLOAD - 8) the
+    alignment residue is folded into the KERNEL column in XLA (taps
+    pre-shifted by base%8, zeros elsewhere — exact, since a zero tap
     contributes a zero truncated term), so there is NO in-kernel roll: the
     (T+8, 128) window multiply-accumulates directly against a (T+8, 1)
-    kernel column and reduces over sublanes. (The roll this replaced was
-    ~the largest per-frame cost — benchmarks/RESULTS.md round-3.) Any ratio
-    the reference accepts works here.
+    kernel column and reduces over sublanes (the roll was ~the largest
+    per-frame cost, benchmarks/RESULTS.md round-3). Wider windows keep the
+    per-frame roll (see GENERAL_SHIFT_MAX_WLOAD). Any ratio the reference
+    accepts works here.
     """
     jg = pl.program_id(1)
+    rows_used = max_taps + 8 if shift_kv else max_taps
 
     for g in range(group):
         rows_lo = jg * (FRAMES_PER_TILE * group) + g * FRAMES_PER_TILE
         accs = []
         for k in range(FRAMES_PER_TILE):
-            a = pl.multiple_of(rows_ref[rows_lo + k], 8)
-            win = x_ref[pl.ds(a, w_load), :][: max_taps + 8]     # (T+8, 128)
+            if shift_kv:
+                a = pl.multiple_of(rows_ref[rows_lo + k], 8)
+                win = x_ref[pl.ds(a, w_load), :][:rows_used]
+            else:
+                base = rows_ref[rows_lo + k]
+                a = pl.multiple_of((base // 8) * 8, 8)
+                window = x_ref[pl.ds(a, w_load), :]
+                win = pltpu.roll(window, -(base - a), axis=0)[:rows_used]
             kcol = kv_ref[:, g * FRAMES_PER_TILE + k : g * FRAMES_PER_TILE + k + 1]
             terms = _macc(win, kcol, jnp.zeros_like(win))
             accs.append(jnp.sum(terms, axis=0, keepdims=True))   # (1, 128)
@@ -397,22 +426,26 @@ def resample_uniform_lanes_general(
     assert lane_offset + lanes <= l
     assert n_out % (FRAMES_PER_TILE * group) == 0
     tile0 = lane_offset // LANES
-    # Exactly the MAC rows: the roll this kernel used to do needed a
-    # power-of-two window; the residue now lives in the kernel column, so
-    # the load is just taps+8 rows (multiple of 8 — max_taps is).
-    w_load = max_taps + 8
+    # Common widths: exactly the MAC rows, no roll (the residue lives in the
+    # kernel column). Wide windows: power-of-two rows for the roll path.
+    w_load, shift_kv = general_w_load(max_taps)
     rows, kvals, q, eps, _tile_rows = precompute_launch(
         table, state, max_taps=max_taps, n_out=n_out, table_strided=table_strided
     )
-    # Clamp padding frames' window bases into bounds (results discarded),
-    # then 8-align each start and fold the residue into the kernel column
-    # (taps delayed by base%8, zeros elsewhere — exact: zero taps contribute
-    # zero truncated terms). This removes the kernel's per-frame roll, its
-    # single largest cost (benchmarks/RESULTS.md round-3 decomposition).
+    # Clamp padding frames' window bases into bounds (results discarded).
     rows_clamped = jnp.clip(rows, 0, max(s - w_load, 0))
-    m = rows_clamped % 8
-    rows_launch = rows_clamped - m
-    kv = _phase_shift_kvals(kvals, m).T                          # (T+8, N)
+    if shift_kv:
+        # 8-align each start and fold the residue into the kernel column
+        # (taps delayed by base%8, zeros elsewhere — exact: zero taps
+        # contribute zero truncated terms). Removes the kernel's per-frame
+        # roll, its single largest cost (RESULTS.md round-3 decomposition).
+        m = rows_clamped % 8
+        rows_launch = rows_clamped - m
+        kv = _phase_shift_kvals(kvals, m).T                      # (T+8, N)
+    else:
+        rows_launch = rows_clamped
+        kv = kvals.T                                             # (T, N)
+    kv_rows = max_taps + 8 if shift_kv else max_taps
     meta = jnp.stack([eps, q], axis=1)
     meta = jnp.pad(meta, ((0, 0), (0, LANES - 2)))
 
@@ -422,7 +455,7 @@ def resample_uniform_lanes_general(
         grid=(lanes // LANES, n_out // step_frames),
         in_specs=[
             pl.BlockSpec((step_frames, LANES), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((max_taps + 8, step_frames), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv_rows, step_frames), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i + tile0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -432,7 +465,7 @@ def resample_uniform_lanes_general(
     out = pl.pallas_call(
         partial(
             _kernel_general, max_taps=max_taps, w_load=w_load, group=group,
-            clamp_s16=clamp_s16,
+            clamp_s16=clamp_s16, shift_kv=shift_kv,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -875,20 +908,27 @@ def resample_integer_stride(
 
 WIDE_FRAME_GROUP = 8      # frames per grid step (out block sublane count)
 WIDE_MAX_LAUNCH_FRAMES = 64   # caps the duplicated kv layout's footprint
+# MAC rows per grid step along the tap-block axis. Bounds the kernel's live
+# vector temporaries: one whole-window multiply at radius 3007 (w=6032)
+# keeps several (w, 128) buffers live across the 8 unrolled frames and
+# blows the 16M scoped-vmem stack (measured 21-22M); with the tap axis in
+# the GRID, each step touches (512, 128) slices only.
+WIDE_MAC_BLOCK = 512
 
 
 def _kernel_wide_taps(
     g_ref,          # scalar prefetch (G,): clamped 8-aligned GROUP base rows
     o_ref,          # scalar prefetch (N_pad,): per-frame window offsets
                     # within the group window (8-aligned, pre-clamped in XLA)
-    kv_ref,         # (W, 128) block per frame group: col n = frame n's
-                    # phase-shifted tap vector (see resample_wide_taps)
+    kv_ref,         # (WIDE_MAC_BLOCK, 128) block per (tap block, group):
+                    # col n = frame n's phase-shifted tap slice
     x_ref,          # FULL (S, L) input in HBM (DMA'd manually)
-    out_ref,        # (8, 128) block: per-frame raw tap sums
+    out_ref,        # (8, 128) block: per-frame raw tap sums, ACCUMULATED
+                    # across the tap-block grid axis (index map ignores k)
     scratch,        # VMEM (span, 128) group-window buffer
     sem,            # DMA semaphore
     *,
-    w: int,
+    w: int,         # static true window rows (taps + 8)
     span: int,      # static rows per group window (>= 7*d + w + slack)
     tile0: int,
 ):
@@ -901,34 +941,54 @@ def _kernel_wide_taps(
     ONE async HBM->VMEM DMA per 8-frame GROUP copies the union of the
     group's tap windows (consecutive wide windows overlap by ~(T-d)/T, so
     the union span is ~(7d+T) rows vs 8T for per-frame copies — ~3.7x less
-    traffic at radius 1003); each frame's window is then a dynamic aligned
-    slice of the group window, multiplying against a kernel column whose
-    taps were pre-shifted by the window's 8-alignment residue in XLA — no
-    in-kernel roll. Normalisation (1025-1033) happens in the XLA epilogue,
-    where the per-frame reciprocal already lives.
+    traffic at radius 1003); the tap axis is a GRID dimension (k,
+    innermost), each step multiplying every frame's (WIDE_MAC_BLOCK, 128)
+    aligned window slice against its kernel-column slice and accumulating
+    into the revisited out block — so the live vector temporaries stay
+    bounded regardless of tap width (exact: the tap sum is a plain sum of
+    independently truncated terms in any order). The per-frame kernel
+    columns were pre-shifted by the window's 8-alignment residue in XLA —
+    no in-kernel roll. Normalisation (1025-1033) happens in the XLA
+    epilogue, where the per-frame reciprocal already lives.
     """
     i = pl.program_id(0)
     jf = pl.program_id(1)
+    k = pl.program_id(2)
 
-    base = pl.multiple_of(g_ref[jf], 8)
-    dma = pltpu.make_async_copy(
-        x_ref.at[pl.ds(base, span), pl.ds((i + tile0) * LANES, LANES)],
-        scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    @pl.when(k == 0)
+    def _():
+        base = pl.multiple_of(g_ref[jf], 8)
+        dma = pltpu.make_async_copy(
+            x_ref.at[pl.ds(base, span), pl.ds((i + tile0) * LANES, LANES)],
+            scratch,
+            sem,
+        )
+        dma.start()
+        dma.wait()
 
+    # Tap block k covers window rows [k*KB, k*KB+KB), except the LAST block,
+    # which is pulled back to end exactly at w (its kernel column zeroes the
+    # overlap with the previous block) so the kernel never reads past a
+    # frame's true w-row window — the caller contract guarantees only w.
+    # min() expresses both cases uniformly (w >= KB always: taps > 1024).
+    kb0 = jnp.minimum(k * WIDE_MAC_BLOCK, w - WIDE_MAC_BLOCK)
     rows_out = []
     for n in range(WIDE_FRAME_GROUP):
-        # frame window = aligned slice of the group window; the alignment
-        # residue is already folded into kv (offsets are 8-aligned)
         off = pl.multiple_of(o_ref[jf * WIDE_FRAME_GROUP + n], 8)
-        win = scratch[pl.ds(off, w), :]                   # (W, 128)
-        kcol = kv_ref[:, n : n + 1]                       # (W, 1)
+        start = pl.multiple_of(off + kb0, 8)
+        win = scratch[pl.ds(start, WIDE_MAC_BLOCK), :]
+        kcol = kv_ref[:, n : n + 1]
         terms = _macc(win, kcol, jnp.zeros_like(win))
-        rows_out.append(jnp.sum(terms, axis=0, keepdims=True))
-    out_ref[:, :] = jnp.concatenate(rows_out, axis=0)
+        rows_out.append(jnp.sum(terms, axis=0, keepdims=True))   # (1, 128)
+    part = jnp.concatenate(rows_out, axis=0)                     # (8, 128)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:, :] = part
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + part
 
 
 @partial(
@@ -970,6 +1030,7 @@ def resample_wide_taps(
     assert n_out % WIDE_FRAME_GROUP == 0
     assert n_out <= WIDE_MAX_LAUNCH_FRAMES, "tile wide launches (dispatchers do)"
     w = max_taps + 8
+    assert w >= WIDE_MAC_BLOCK, "wide kernel serves taps > 1024 only"
     assert s >= w, "input shorter than one tap window"
     # Union span of a group's 8 windows: rows advance <= d+1 per frame plus
     # the group base's alignment loss. Capped by the buffer itself (legal
@@ -991,17 +1052,34 @@ def resample_wide_taps(
         a - jnp.repeat(gbase, WIDE_FRAME_GROUP), 0, span - w
     )                                                    # (N,) 8-aligned
     kv8 = _phase_shift_kvals(kvals, m)                   # (N, W)
-    # Group layout: (W, G*128), group g's frames in lanes g*128..g*128+8.
+    # Per-MAC-block kernel columns: block k holds taps [k*KB, k*KB+KB),
+    # except the LAST block, pulled back to end at w with its overlap taps
+    # zeroed (see the kernel's kb0) — so nothing reads past the w-row
+    # window and the pad taps stay exact zeros.
+    n_k = -(-w // WIDE_MAC_BLOCK)
+    if n_k * WIDE_MAC_BLOCK != w:
+        head = kv8[:, : (n_k - 1) * WIDE_MAC_BLOCK]
+        overlap = n_k * WIDE_MAC_BLOCK - w
+        tail = jnp.concatenate(
+            [
+                jnp.zeros((kv8.shape[0], overlap), kv8.dtype),
+                kv8[:, (n_k - 1) * WIDE_MAC_BLOCK :],
+            ],
+            axis=1,
+        )
+        kv8 = jnp.concatenate([head, tail], axis=1)      # (N, n_k*KB)
+    w_blocks = n_k * WIDE_MAC_BLOCK
+    # Group layout: (W_blocks, G*128), group g's frames in lanes g*128..+8.
     n_groups = n_out // WIDE_FRAME_GROUP
-    kvg = kv8.reshape(n_groups, WIDE_FRAME_GROUP, w).transpose(0, 2, 1)
+    kvg = kv8.reshape(n_groups, WIDE_FRAME_GROUP, w_blocks).transpose(0, 2, 1)
     kvg = jnp.pad(kvg, ((0, 0), (0, 0), (0, LANES - WIDE_FRAME_GROUP)))
-    kvg = kvg.transpose(1, 0, 2).reshape(w, n_groups * LANES)
-
+    kvg = kvg.transpose(1, 0, 2).reshape(w_blocks, n_groups * LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(lanes // LANES, n_groups),
+        grid=(lanes // LANES, n_groups, n_k),
         in_specs=[
-            pl.BlockSpec((w, LANES), lambda i, jf, *_: (0, jf),
+            pl.BlockSpec((WIDE_MAC_BLOCK, LANES),
+                         lambda i, jf, k, *_: (k, jf),
                          memory_space=pltpu.VMEM),
             # Explicitly HBM: pl.ANY let the compiler pull the whole input
             # into VMEM, defeating the kernel's purpose (and its tiled-memref
@@ -1009,7 +1087,7 @@ def resample_wide_taps(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (WIDE_FRAME_GROUP, LANES), lambda i, jf, *_: (jf, i),
+            (WIDE_FRAME_GROUP, LANES), lambda i, jf, k, *_: (jf, i),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[

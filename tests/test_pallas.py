@@ -471,6 +471,32 @@ def test_wide_taps_kernel_bit_exact(in_rate, out_rate, p0, f0):
     )
 
 
+def test_general_kernel_roll_path_bit_exact():
+    """Tap widths past GENERAL_SHIFT_MAX_WLOAD use the roll variant of the
+    general kernel (the roll-free body blows the Mosaic scoped-vmem stack
+    at such widths — see general_w_load); both must match the oracle."""
+    from clownresampler_tpu.ops.pallas_resample import general_w_load
+
+    table = jnp.asarray(lanczos_kernel_table())
+    n_out = 128
+    # deep low-pass stretch: radius 504, taps 1008, d=2 (the verify_tpu
+    # wide-in-guard shape)
+    cfg = configure(24000, 11000, 143)
+    inc = fx.calculate_ratio(24000, 11000)
+    state = make_device_state(0, 0x4321, cfg, inc)
+    max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    assert not general_w_load(max_taps)[1], "case must exercise the roll path"
+    s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 2048 + 96
+    s = -(-s // 16) * 16
+    rng = np.random.default_rng(97)
+    x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _ = resample_uniform_lanes_general(
+        table, x, state, max_taps=max_taps, n_out=n_out, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_general_kernel_group32_bit_exact():
     """The 256-frame-step variant of the general kernel == the oracle."""
     table = jnp.asarray(lanczos_kernel_table())

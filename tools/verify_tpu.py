@@ -133,13 +133,20 @@ def main() -> int:
         failures += not ok
         print(f"{'PASS' if ok else 'FAIL'} compiled {plan['kernel']} kernel {in_rate}->{out_rate}")
 
-    # 3. Wide in-guard kernel (radius ~505, taps 1016 <= FAST_KERNEL_MAX_TAPS):
-    # the compiled general kernel at its widest allowed window.
-    in_rate, out_rate = 44100, 262
-    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    # 3. Wide in-guard kernel (radius ~504, taps 1016 <= FAST_KERNEL_MAX_TAPS):
+    # the compiled general kernel at its widest allowed window. The ratio
+    # keeps d small (2.18x downsample with a deep low-pass stretch) so the
+    # input block stays inside the VMEM budget the dispatchers enforce —
+    # a 44.1k->262 launch at n_out=128 needs a ~24.7k-row block, which is
+    # beyond the documented Mosaic budget and something no dispatcher emits
+    # (the farm caps capacity at VMEM_SAFE_INPUT_ROWS; LowLevelResampler
+    # tiles by output frames against the same budget).
+    in_rate, out_rate, lpf = 24000, 11000, 143
+    cfg = configure(in_rate, out_rate, lpf)
     inc = fx.calculate_ratio(in_rate, out_rate)
     state = make_device_state(0, 0x4321, cfg, inc)
     max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    assert max_taps > 1000, max_taps
     n_out = 128
     s = ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 2048 + 96
     s = -(-s // 16) * 16
