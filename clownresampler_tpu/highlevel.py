@@ -327,8 +327,11 @@ class HighLevelResampler:
 
         lanes = 128                       # engine lane-tile width
         # device bytes per input frame: int16 lane-padded input + int32
-        # lane-padded output scaled by the rate ratio
-        per_frame = 2 * lanes + (65536 * 4 * lanes) // inc + 1
+        # lane-padded output at the scan's ACTUAL per-chunk allocation —
+        # n_cap rows per n_in-frame chunk (sized for n_in + 2*radius worth
+        # of output plus grain rounding, not just the natural count)
+        n_cap = -(-(((n_in + 2 * r) << 16) // inc + 8) // 128) * 128
+        per_frame = 2 * lanes + (n_cap * 4 * lanes) // n_in + 1
         max_frames = self.BULK_MAX_DEVICE_BYTES // per_frame
         n = 0
         while n <= max_frames:
@@ -350,7 +353,6 @@ class HighLevelResampler:
         )
 
         max_taps = ll._max_taps
-        n_cap = -(-(((n_in + 2 * r) << 16) // inc + 8) // 128) * 128
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         tstr = strided_table_device(
