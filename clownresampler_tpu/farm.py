@@ -134,12 +134,21 @@ class UniformStreamFarm:
         # (d <= kernel_scale <= radius_bound/radius + 1, so 8*d is bounded by
         # ~3*radius_bound for the default radius 3). Wide kernels beyond
         # FAST_KERNEL_MAX_TAPS route to the DMA wide kernel
-        # (ops.resample_wide_taps), whose aligned per-frame windows over-read
-        # at most 8 rows past a legal frame's window end; legal windows end
-        # at most at the fill row <= capacity - slack, so slack = 16 >= 8
-        # keeps every legal read in bounds (padding frames clamp in-kernel).
+        # (ops.resample_wide_taps), which reads the RESERVED tap width
+        # (max_taps + 8 rows) from every window start regardless of the
+        # CURRENT ratio's actual taps (the surplus taps are zero — exact),
+        # so when the current radius is narrower than the reserved bound the
+        # read extends past the actual window by up to 2*(radius_bound -
+        # radius) rows. Window starts reach at most fill - radius_bound
+        # (positions < consumable total = fill - 2*radius_bound, plus the
+        # halo shift), so reads end <= fill + radius_bound + 8: a slack of
+        # radius_bound + 16 keeps every legal read inside the buffer even at
+        # full fill. (The round-2 oracle fallback tolerated the old slack=16
+        # via clipped gathers + zero taps; the DMA kernel must not clamp
+        # legal frames' window starts — caught by
+        # tests/test_farm.py::test_wide_bound_farm_narrow_ratio_bit_exact.)
         if self._max_taps > FAST_KERNEL_MAX_TAPS:
-            slack = 16
+            slack = radius_bound + 16
         else:
             slack = 96 + window_rows_needed(self._max_taps, 1, 8) + 3 * radius_bound
             # Polyphase strided launches (integer-stride ratios, possibly via

@@ -298,6 +298,30 @@ def test_mixed_farm_per_stream_adjust():
         np.testing.assert_array_equal(got, want_cat, err_msg=f"stream {i}")
 
 
+def test_wide_bound_farm_narrow_ratio_bit_exact():
+    """A farm whose reserved radius exceeds the fast-kernel guard routes ALL
+    its launches through the wide DMA kernel — including launches at narrow
+    current ratios (d<=1), where consecutive frames' windows nearly
+    coincide. Must match the C-exact host path bit-for-bit at every kernel
+    classes a reserved-wide farm can run (upsample d=0 and the headline
+    d=1)."""
+    rng = np.random.default_rng(67)
+    ch, chunk = 1, 128
+    data = rng.integers(-32768, 32768, size=(2, chunk, ch)).astype(np.int16)
+
+    for in_rate, out_rate in [(8000, 44100), (48000, 44100)]:
+        farm = UniformStreamFarm(2, ch, in_rate, out_rate,
+                                 max(in_rate, out_rate), chunk_frames=chunk,
+                                 interpret=True, max_radius=520)
+        assert farm._max_taps > 1024, "farm must sit in the wide-dispatch regime"
+        got = np.concatenate([farm.process(data), farm.flush()], axis=1)
+        for i in range(2):
+            want = _host_reference(data[i], ch, in_rate, out_rate,
+                                   max(in_rate, out_rate))
+            np.testing.assert_array_equal(
+                got[i], want, err_msg=f"{in_rate}->{out_rate} stream {i}")
+
+
 def test_mixed_farm_adjust_stream_capacity_drift():
     """Round-2 advisor repro: with chunk_frames=8192 and max_radius=30 the
     strided-slack reservation depends on the PRIMARY ratio, so migrating a
