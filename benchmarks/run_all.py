@@ -11,6 +11,8 @@ Configs (BASELINE.json):
   5.  1024-stream mixed-ratio stereo transcode farm (one fused program)
   6.  wide non-integer downsample 44.1k->8k (general kernel)
   7.  fused whole-stream scan 44.1k->8k (one lax.scan, zero host round-trips)
+  7b. whole-stream bulk 44.1k->8k via closed-form segments (the
+      resample_stream(bulk) route: independent launches, batch-speed)
   8.  wide-kernel domain 44.1k->132 (radius 1003, taps 2008): the DMA-based
       wide fast path vs the XLA gather oracle it replaced
 
@@ -40,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7", "8"]
+CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7", "7b", "8"]
 
 K1, K2 = 8, 40
 
@@ -218,7 +220,7 @@ def run_config(which: str) -> None:
 
             return hl_cb
 
-        for bulk, label in [(True, "bulk fused-scan"), (False, "host chunk loop")]:
+        for bulk, label in [(True, "bulk segmented"), (False, "host chunk loop")]:
             for _ in range(2):  # first pass warms compilation caches
                 rs = HighLevelResampler.init(1, 48000, 44100, 44100)
                 t0 = time.perf_counter()
@@ -329,7 +331,11 @@ def run_config(which: str) -> None:
         total_samples = 0
         for rate in sweep_rates:
             assert farm.adjust(rate, 44100, 88200)
-            n_out = min(farm._natural_count(farm._fill - 2 * farm._radius_bound), 4096)
+            # Emit the chunk's FULL natural count, as farm._emit does (the
+            # farm frame-tiles internally at <= 2^14); the old 4096 cap
+            # under-filled the upsample sweep steps' launches by 2-4x.
+            n_out = min(farm._natural_count(farm._fill - 2 * farm._radius_bound),
+                        1 << 14)
             specs, _splits = farm._launch_specs(n_out)
             prepared.append((
                 tuple(si for _, si, _, _ in specs),
@@ -521,6 +527,51 @@ def run_config(which: str) -> None:
         samples_chunk = (p2 - p1) / (k2 - k1) * lanes
         _report("config7 fused whole-stream scan 44.1k->8k x1024 stereo (one lax.scan, 4 split-chain sub-fleets)",
                 samples_chunk, dt_chunk, 27.0)
+
+    elif which == "7b":
+        # whole-stream BULK route (resample_stream(bulk) / the LowLevel
+        # batched tile dispatch): with the full stream in hand, every
+        # segment's window row and phase are closed-form host ints, so the
+        # reference's sequential chunk loop becomes INDEPENDENT batch
+        # launches that overlap on device — no scan serialization at all.
+        # Measured as the library dispatches it: TILE_LAUNCH_GROUP
+        # independent windows per program, sequential per-segment phases.
+        from clownresampler_tpu import fixedpoint as fx
+        from clownresampler_tpu.configure import configure
+        from clownresampler_tpu.lowlevel import TILE_LAUNCH_GROUP, make_device_state
+        from clownresampler_tpu.models import DEFAULT_MODEL
+        from clownresampler_tpu.ops.pallas_resample import (
+            multi_resample,
+            strided_table_device,
+        )
+
+        in_rate, out_rate, lanes, seg_out = 44100, 8000, 2048, 2048
+        cfg = configure(in_rate, out_rate, in_rate)
+        inc = fx.calculate_ratio(in_rate, out_rate)
+        taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        rows = ((seg_out * inc) >> 16) + taps + 128
+        rows = -(-rows // 16) * 16
+        g = TILE_LAUNCH_GROUP
+        xs0 = tuple(jnp.asarray(
+            rng.integers(-32768, 32768, size=(rows, lanes)).astype(np.int32))
+            for _ in range(g))
+        states = tuple(
+            make_device_state(0, (j * seg_out * inc) & 0xFFFF, cfg, inc)
+            for j in range(g)
+        )
+        plans = tuple(("general", None, None, taps, seg_out, False)
+                      for _ in range(g))
+        tstrs = tuple(strided_table_device(
+            DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+            cfg.kernel_step_size, taps) for _ in range(g))
+        jax.block_until_ready(list(xs0))
+
+        def body(xs):
+            outs = multi_resample(table, xs, states, plans, tstrs=tstrs)
+            return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
+
+        _report("config7b whole-stream bulk 44.1k->8k x1024 stereo (closed-form segments, 4 grouped launches)",
+                g * seg_out * lanes, _kslope(body, xs0), 27.0)
 
     elif which == "8":
         # wide-kernel domain (VERDICT r2 item 5): radius 1003 / taps 2008 —

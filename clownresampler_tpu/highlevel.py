@@ -58,16 +58,20 @@ class HighLevelResampler:
         low_pass_rate: int,
         model: KernelModel = DEFAULT_MODEL,
         buffer_total_samples: int = BUFFER_TOTAL_SAMPLES,
+        interpret: bool = False,
     ) -> Optional["HighLevelResampler"]:
         """ClownResampler_HighLevel_Init (1101-1118). None on failure.
 
         ``buffer_total_samples`` lifts the reference's fixed 0x1000 staging
         buffer (TODO-noted there as should-be-dynamic, clownresampler.h:654)
         into a parameter; the default reproduces the C geometry exactly.
+        ``interpret`` is the CPU-test knob threaded to the low-level kernel
+        dispatch (LowLevelResampler.interpret).
         """
         if channels > MAXIMUM_CHANNELS:
             return None
-        low = LowLevelResampler.init(channels, input_rate, output_rate, low_pass_rate, model)
+        low = LowLevelResampler.init(channels, input_rate, output_rate,
+                                     low_pass_rate, model, interpret=interpret)
         if low is None:
             return None
         radius = low.config.integer_stretched_kernel_radius
@@ -223,29 +227,33 @@ class HighLevelResampler:
     ) -> np.ndarray:
         """Run to end-of-input, then flush; returns all output frames.
 
-        ``bulk`` routes the whole stream through ONE fused device scan
-        (lowlevel.resample_scan_fused: halo carry, natural counts and the
-        ResampleEnd zero-flush all on device — the reference's chunk loop,
-        clownresampler.h:1120-1176 + 1242-1250, as one computation) instead
-        of the host chunk loop. Output bytes are identical (the scan is
-        bit-exact vs the host path, tests/test_highlevel.py); the bulk path
-        needs no per-frame callback contract, so it is only taken from a
-        pristine resampler (nothing primed or buffered yet) and leaves the
-        internal buffer cursors in a generic post-flush state rather than
-        the host loop's exact final geometry. ``bulk=None`` auto-selects it
-        on TPU; the host loop quietly serves the cases the fused path
-        declines (non-pristine state, wide kernels, empty streams, streams
-        past the device-memory cap).
+        ``bulk`` processes the whole stream as closed-form SEGMENTS: with the
+        entire input available, output frame m's window position is exact
+        host arithmetic (f0 + m*increment), so the reference's sequential
+        chunk loop (clownresampler.h:1120-1176 + 1242-1250, incl. the
+        ResampleEnd zero-flush) collapses into independent batch launches
+        that the device overlaps — whole-stream throughput at batch-mode
+        speed instead of the serialized chunk-scan rate
+        (lowlevel._compute_frames batched dispatch; incremental chunked
+        streams without the full input in hand keep resample_scan_fused).
+        Output bytes are identical to the host chunk loop
+        (tests/test_highlevel.py); the bulk path needs no per-frame callback
+        contract, so it is only taken from a pristine resampler (nothing
+        primed or buffered yet) and leaves the internal buffer cursors in a
+        generic post-flush state rather than the host loop's exact final
+        geometry. ``bulk=None`` auto-selects it on TPU; the host loop
+        quietly serves the cases the bulk path declines (non-pristine
+        state, empty streams, streams past the device-memory cap).
         """
         if bulk is None:
             import jax
 
             bulk = jax.default_backend() == "tpu"
         if bulk and self._is_pristine():
-            # falls back to the host loop (None) for wide kernels, empty or
-            # over-long streams — same bytes either way; frames the fused
-            # path already drained from the callback are replayed first
-            out, input_callback = self._resample_stream_fused(input_callback)
+            # falls back to the host loop (None) for empty or over-long
+            # streams — same bytes either way; frames the bulk path already
+            # drained from the callback are replayed first
+            out, input_callback = self._resample_stream_bulk(input_callback)
             if out is not None:
                 return out
         collected: list = []
@@ -267,41 +275,36 @@ class HighLevelResampler:
             and ll.position_fractional == 0
         )
 
-    # Device-memory budget for one bulk scan invocation (int16 lane-padded
-    # input + int32 lane-padded output both live in HBM at once); streams
-    # past it take the host chunk loop. Segmented bulk scans are future work.
+    # Device-memory budget for one bulk invocation (the uploaded int16 tile
+    # windows plus every ch-lane int32 output tile stay resident across the
+    # launch stream); streams past it take the host chunk loop.
     BULK_MAX_DEVICE_BYTES = 3 << 30
 
-    def _resample_stream_fused(
+    def _resample_stream_bulk(
         self, input_callback: InputCallback, n_in: int = 2048,
-        interpret: Optional[bool] = None,
     ) -> tuple:
-        """Whole-stream resample as one fused lax.scan (see resample_stream).
+        """Whole-stream resample as closed-form segments (see resample_stream).
 
-        Drains the input callback into channel-width host chunks, lane-pads
-        them to the 128-lane engine width ON DEVICE (the host never holds
-        the padded array), appends the trailing `radius` zero-flush frames,
-        runs lowlevel.resample_scan_fused once, and truncates to the exact
-        natural frame count ceil(N<<16 / increment) — the count the C
-        high-level path emits for an N-frame stream with automatic edge
-        padding (== LowLevel over a radius-padded buffer, SURVEY.md
-        section 4 finding 1).
+        Drains the input callback into a host buffer, radius-pads it both
+        ends (the trailing pad IS the ResampleEnd zero flush), and runs ONE
+        LowLevel resample over it: the natural count of the padded buffer is
+        exactly ceil(N<<16 / increment) — the frame count the C high-level
+        path emits for an N-frame stream with automatic edge padding
+        (== LowLevel over a radius-padded buffer, SURVEY.md section 4
+        finding 1). LowLevel's batched tile dispatch
+        (lowlevel._compute_frames_batched) then launches the tiles as
+        independent device programs that overlap on device, so the whole
+        stream runs at batch-mode throughput — including kernels past the
+        fast-path width guard, which the old fused-scan bulk path had to
+        decline (its engines were VMEM-resident only).
 
-        Returns (out, replay_callback). ``out`` is None when the fused path
-        declines (wide kernels, empty streams, streams past the device
-        budget); ``replay_callback`` then serves any already-drained frames
-        before delegating to the original callback, so the host loop can
-        take over with no data loss.
+        Returns (out, replay_callback). ``out`` is None when the bulk path
+        declines (empty streams, streams past the device budget);
+        ``replay_callback`` then serves any already-drained frames before
+        delegating to the original callback, so the host loop can take over
+        with no data loss.
         """
         import jax
-        import jax.numpy as jnp
-
-        from clownresampler_tpu.lowlevel import (
-            FAST_KERNEL_MAX_TAPS,
-            make_device_state,
-            resample_scan_fused,
-        )
-        from clownresampler_tpu.ops.pallas_resample import strided_table_device
 
         pieces: list = []
 
@@ -316,22 +319,15 @@ class HighLevelResampler:
             return np.asarray(input_callback(total_frames))
 
         ll = self.low_level
-        if ll._max_taps > FAST_KERNEL_MAX_TAPS:
-            # The fused scan's engines are the VMEM-resident kernels; wide
-            # kernels stream through the host loop's per-tile wide dispatch.
-            return None, replay_callback
         cfg = ll.config
         r = cfg.integer_stretched_kernel_radius
         ch = self.channels
         inc = ll.increment
 
-        lanes = 128                       # engine lane-tile width
-        # device bytes per input frame: int16 lane-padded input + int32
-        # lane-padded output at the scan's ACTUAL per-chunk allocation —
-        # n_cap rows per n_in-frame chunk (sized for n_in + 2*radius worth
-        # of output plus grain rounding, not just the natural count)
-        n_cap = -(-(((n_in + 2 * r) << 16) // inc + 8) // 128) * 128
-        per_frame = 2 * lanes + (n_cap * 4 * lanes) // n_in + 1
+        # device bytes per input frame: the int16 window uploads (x2 covers
+        # the power-of-two row buckets and tile-halo duplication) plus the
+        # ch-lane int32 output at the output/input frame ratio
+        per_frame = 4 * ch + ((4 * ch) << 16) // max(inc, 1) + 4 * ch + 1
         max_frames = self.BULK_MAX_DEVICE_BYTES // per_frame
         n = 0
         while n <= max_frames:
@@ -344,36 +340,21 @@ class HighLevelResampler:
         if n == 0 or n > max_frames:
             return None, replay_callback
 
-        total = n + r                     # stream + ResampleEnd zero flush
-        k = -(-total // n_in)
-        buf = np.zeros((k * n_in, ch), np.int16)
-        buf[:n] = np.concatenate(pieces, axis=0)
-        chunks = jnp.pad(                 # lane pad on device, not the host
-            jnp.asarray(buf.reshape(k, n_in, ch)), ((0, 0), (0, 0), (0, lanes - ch))
-        )
+        padded = np.zeros((n + 2 * r, ch), np.int16)
+        padded[r : r + n] = np.concatenate(pieces, axis=0)
 
-        max_taps = ll._max_taps
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
-        tstr = strided_table_device(
-            ll.model.radius, ll.model.resolution, cfg.kernel_step_size, max_taps
-        )
-        table = jnp.asarray(ll.model.table())
-        state = make_device_state(0, 0, cfg, inc)
-        outs, produced, _state_out, backlog = resample_scan_fused(
-            table, chunks, state, max_taps=max_taps, n_out=n_cap, radius=r,
-            increment=inc, interpret=interpret, table_strided=tstr,
-        )
-        assert not bool(backlog), "scan cap undersized (internal)"
-        outs = np.asarray(outs)
-        produced = np.asarray(produced)
-        n_total = -(-(n << 16) // inc)    # exact natural count from (0, 0)
-        out = np.concatenate(
-            [outs[i, : produced[i], :ch] for i in range(k)], axis=0
-        )[:n_total]
+        # On non-TPU backends an explicit bulk=True still runs the device
+        # dispatch (interpreted), as the fused-scan path did — the host
+        # oracle is reached via bulk=False.
+        interp_prev = ll.interpret
+        if jax.default_backend() != "tpu":
+            ll.interpret = True
+        try:
+            _, _, out = ll.resample(padded, n)
+        finally:
+            ll.interpret = interp_prev
         # Post-stream bookkeeping: positions advanced past the whole stream,
         # flush consumed (generic finished state; see resample_stream doc).
-        ll._advance(n_total)
         ll.position_integer = 0
         self.trailing_padding_frames_remaining = 0
         return out, replay_callback

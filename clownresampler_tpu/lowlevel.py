@@ -441,6 +441,59 @@ def resample_scan_tiled(
 
 OutputCallback = Callable[[np.ndarray], bool]
 
+# Independent tile launches fused per device program by the batched tile
+# dispatcher (_compute_frames): 4 independent dependency-free launches per
+# program is the measured device-concurrency sweet spot (the LANE_SPLIT
+# finding, benchmarks/RESULTS.md — independent chains overlap ~1.7-2.4x one
+# serialized chain; wider groups only grow program size).
+TILE_LAUNCH_GROUP = 4
+
+
+def _plan_cand(increment: int) -> int:
+    """The tiled kernel's per-tile window-candidate count for this increment
+    (plan_uniform's jitter bound; only meaningful when increment < 2^17)."""
+    from clownresampler_tpu.ops.pallas_resample import plan_uniform
+
+    return plan_uniform(increment, 0)["cand"]
+
+
+@partial(jax.jit, static_argnames=("plans", "ch", "interpret"))
+def _grouped_packed_launch(table, xs, f0s, cfg, plans, tstrs, ch, interpret=False):
+    """Run a group of independent resample tiles as ONE device program.
+
+    ``xs[i]`` is tile i's input window as the HOST uploaded it — (rows_i, ch)
+    int16, i.e. only the stream's real channels — and is lane-padded to the
+    128-lane kernel tile and widened to int32 ON DEVICE, so host->device
+    traffic stays at 2 bytes x ch per input row instead of the kernels'
+    4 x 128. ``f0s[i]`` is tile i's 16.16 phase fraction (tile positions are
+    rebased to the window start, so position_integer is always 0 here).
+    Outputs are trimmed back to ``ch`` lanes before they leave the program,
+    so device->host traffic is equally narrow.
+
+    The group's launches share no data, so the device overlaps them
+    (independent dependency chains, benchmarks/RESULTS.md) — this is what
+    makes whole-stream bulk resampling run at batch speed rather than the
+    serialized chunk-scan rate.
+    """
+    from clownresampler_tpu.ops.pallas_resample import multi_resample
+
+    lanes_pad = fx.round_up(ch, 128)
+    xs32 = tuple(
+        jnp.pad(x.astype(jnp.int32), ((0, 0), (0, lanes_pad - ch)))
+        for x in xs
+    )
+    states = tuple(
+        DeviceState(
+            position_integer=jnp.asarray(0, jnp.int32),
+            position_fractional=f0s[i],
+            cfg=cfg,
+        )
+        for i in range(len(xs))
+    )
+    outs = multi_resample(table, xs32, states, plans, interpret=interpret,
+                          tstrs=tstrs)
+    return tuple(o[:, :ch] for o in outs)
+
 
 @dataclass
 class LowLevelResampler:
@@ -460,6 +513,10 @@ class LowLevelResampler:
     # static tap bound for compiled kernels; fixed at init so adjust() never
     # changes compiled shapes (mirrors the high-level radius rule).
     _max_taps: int = 0
+    # Test knob: run the TPU kernel dispatch (fast/wide Pallas paths) in
+    # Pallas interpret mode on non-TPU backends, so the CPU-mesh test suite
+    # exercises the same dispatch the chip runs (mirrors farm.interpret).
+    interpret: bool = False
 
     @classmethod
     def init(
@@ -470,6 +527,7 @@ class LowLevelResampler:
         low_pass_rate: int,
         model: KernelModel = DEFAULT_MODEL,
         max_radius: Optional[int] = None,
+        interpret: bool = False,
     ) -> Optional["LowLevelResampler"]:
         """ClownResampler_LowLevel_Init (clownresampler.h:1044-1050).
 
@@ -477,7 +535,7 @@ class LowLevelResampler:
         ``adjust`` calls to wider ratios (the C low-level API has no such
         limit because it is scalar; compiled tile shapes need a bound).
         """
-        self = cls(channels=channels, model=model)
+        self = cls(channels=channels, model=model, interpret=interpret)
         if not self.adjust(input_rate, output_rate, low_pass_rate, _initial=True):
             return None
         radius_bound = max(
@@ -546,16 +604,11 @@ class LowLevelResampler:
         )
 
         table = self.model.table()
-        use_fast = (
-            _jax.default_backend() == "tpu"
-            and self._max_taps <= FAST_KERNEL_MAX_TAPS
-        )
+        on_device = _jax.default_backend() == "tpu" or self.interpret
+        use_fast = on_device and self._max_taps <= FAST_KERNEL_MAX_TAPS
         # Kernels past the VMEM-resident width guard run the DMA-based wide
         # kernel (input stays in HBM) instead of the gather oracle.
-        use_wide = (
-            _jax.default_backend() == "tpu"
-            and self._max_taps > FAST_KERNEL_MAX_TAPS
-        )
+        use_wide = on_device and self._max_taps > FAST_KERNEL_MAX_TAPS
         plan = plan_uniform(self.increment, 0) if use_fast else None
         if use_fast:
             # Fast kernels keep their input block VMEM-resident, so each tile
@@ -576,7 +629,10 @@ class LowLevelResampler:
                 self.config.kernel_step_size, self._max_taps,
             )
 
-        chunks = []
+        # ---- pass 1: tile geometry (shared by the sequential and batched
+        # dispatch paths; positions are exact host ints, so every tile's
+        # window row and phase fraction are closed-form from `done`)
+        descs = []  # (tile, n_pad, rows, p0, f0); rows None on the oracle path
         done = 0
         while done < n_frames:
             tile = min(n_frames - done, MAX_CHUNK_OUTPUT_FRAMES)
@@ -606,6 +662,49 @@ class LowLevelResampler:
                 while bucket < rows:
                     bucket *= 2
                 rows = min(bucket, rows_budget)
+            elif use_wide:
+                # DMA-based wide kernel: input stays in HBM (no VMEM row
+                # budget); launches are capped at WIDE_MAX_LAUNCH_FRAMES and
+                # the row window power-of-two-bucketed to bound recompiles.
+                tile = min(tile, WIDE_MAX_LAUNCH_FRAMES)
+                n_pad = fx.round_up(tile, 8)
+                rows = ((n_pad * self.increment) >> 16) + self._max_taps + 64
+                bucket = 1024
+                while bucket < rows:
+                    bucket *= 2
+                rows = bucket
+            else:
+                if self._max_taps > FAST_KERNEL_MAX_TAPS:
+                    # Wide-kernel oracle (CPU path): the gather materialises
+                    # (n_pad, max_taps, C) windows — bound the launch footprint
+                    # and skip the recompilation-bucket padding (natural counts
+                    # at such ratios are tiny anyway).
+                    tile = min(tile, max(8, (1 << 22) // self._max_taps))
+                    n_pad = fx.round_up(tile, 8)
+                else:
+                    n_pad = fx.round_up(tile, 512)
+                rows = None
+            descs.append((tile, n_pad, rows, p0, f0))
+            done += tile
+
+        # ---- batched dispatch: several independent tiles fused per device
+        # program (they overlap on device — whole-stream bulk resampling at
+        # batch speed), with all uploads before the launch stream and all
+        # downloads after it (the relay's transfer/execute discipline).
+        if (use_fast or use_wide) and len(descs) > 1:
+            kind = plan["kernel"] if use_fast else "wide"
+            if use_wide:
+                tstr = strided_table_device(
+                    self.model.radius, self.model.resolution,
+                    self.config.kernel_step_size, self._max_taps,
+                )
+            return self._compute_frames_batched(padded_input, descs, kind,
+                                                table, tstr)
+
+        # ---- sequential per-tile launches (single tile, or the oracle path)
+        chunks = []
+        for tile, n_pad, rows, p0, f0 in descs:
+            if use_fast:
                 window = np.zeros((rows, lanes_pad), np.int32)
                 avail = min(rows, padded_input.shape[0] - p0)
                 if avail > 0:
@@ -617,6 +716,7 @@ class LowLevelResampler:
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
                         d=plan["d"], cand=plan["cand"], table_strided=tstr,
                         group=32 if n_pad % 256 == 0 else 8,
+                        interpret=self.interpret,
                     )
                 elif plan["kernel"] == "strided":
                     choice = choose_strided_plan(
@@ -634,25 +734,17 @@ class LowLevelResampler:
                         out, _ = fn(
                             table, x, state, max_taps=self._max_taps,
                             n_out=n_pad, d=plan["d"], group=grp,
+                            interpret=self.interpret,
                         )
                 else:
                     out, _ = resample_uniform_lanes_general(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
                         table_strided=tstr,
                         group=32 if n_pad % 256 == 0 else 16,
+                        interpret=self.interpret,
                     )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             elif use_wide:
-                # DMA-based wide kernel: input stays in HBM (no VMEM row
-                # budget); launches are capped at WIDE_MAX_LAUNCH_FRAMES and
-                # the row window power-of-two-bucketed to bound recompiles.
-                tile = min(tile, WIDE_MAX_LAUNCH_FRAMES)
-                n_pad = fx.round_up(tile, 8)
-                rows = ((n_pad * self.increment) >> 16) + self._max_taps + 64
-                bucket = 1024
-                while bucket < rows:
-                    bucket *= 2
-                rows = bucket
                 window = np.zeros((rows, 128), np.int32)
                 avail = min(rows, padded_input.shape[0] - p0)
                 if avail > 0:
@@ -666,18 +758,10 @@ class LowLevelResampler:
                     table, jnp.asarray(window), state,
                     max_taps=self._max_taps, n_out=n_pad,
                     d=self.increment >> 16, table_strided=tstr_w,
+                    interpret=self.interpret,
                 )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             else:
-                if self._max_taps > FAST_KERNEL_MAX_TAPS:
-                    # Wide-kernel oracle (CPU path): the gather materialises
-                    # (n_pad, max_taps, C) windows — bound the launch footprint
-                    # and skip the recompilation-bucket padding (natural counts
-                    # at such ratios are tiny anyway).
-                    tile = min(tile, max(8, (1 << 22) // self._max_taps))
-                    n_pad = fx.round_up(tile, 8)
-                else:
-                    n_pad = fx.round_up(tile, 512)
                 n = np.arange(n_pad, dtype=np.int64)
                 tvec = f0 + n * self.increment
                 pos = (p0 + (tvec >> 16)).astype(np.int32)
@@ -687,11 +771,83 @@ class LowLevelResampler:
                     table, padded_input, pos, frac, cfg, self._max_taps
                 )
                 chunks.append(np.asarray(out)[:tile])
-            done += tile
         return (
             np.concatenate(chunks, axis=0)
             if chunks
             else np.zeros((0, self.channels), np.int32)
+        )
+
+    def _compute_frames_batched(
+        self, padded_input: np.ndarray, descs: list, kind: str, table, tstr
+    ) -> np.ndarray:
+        """Launch many independent tiles, TILE_LAUNCH_GROUP per device program.
+
+        Bit-equal to the sequential per-tile path (same windows, same rebased
+        states, same kernels — only the program packaging differs), but the
+        grouped launches are dependency-free so the device overlaps them
+        (~1.7-2.4x one serialized chain, benchmarks/RESULTS.md), and the
+        int16/ch-lane packing in _grouped_packed_launch keeps host traffic at
+        stream width instead of the kernels' 128-lane int32 tiles. Transfer
+        discipline: every window and phase array is uploaded before the first
+        launch; every download happens after the last one.
+        """
+        ch = self.channels
+        interp = self.interpret
+        state0 = make_device_state(0, 0, self.config, self.increment)
+        plan_of = {
+            "tiled": lambda n_pad: ("tiled", self.increment >> 16,
+                                    _plan_cand(self.increment), self._max_taps,
+                                    n_pad, False),
+            "strided": lambda n_pad: ("strided", self.increment >> 16, None,
+                                      self._max_taps, n_pad, False),
+            "general": lambda n_pad: ("general", None, None, self._max_taps,
+                                      n_pad, False),
+            "wide": lambda n_pad: ("wide", self.increment >> 16, None,
+                                   self._max_taps, n_pad, False),
+        }[kind]
+        tstr_entry = None if kind == "strided" else tstr
+
+        # group boundaries: consecutive same-shape tiles, TILE_LAUNCH_GROUP max
+        groups = []
+        i = 0
+        while i < len(descs):
+            j = i + 1
+            while (
+                j < len(descs)
+                and j - i < TILE_LAUNCH_GROUP
+                and descs[j][1:3] == descs[i][1:3]
+            ):
+                j += 1
+            groups.append((i, j))
+            i = j
+
+        # uploads (all before the first launch)
+        windows = []
+        for tile, n_pad, rows, p0, f0 in descs:
+            w = np.zeros((rows, ch), np.int16)
+            avail = min(rows, padded_input.shape[0] - p0)
+            if avail > 0:
+                w[:avail] = padded_input[p0 : p0 + avail]
+            windows.append(jnp.asarray(w))
+        f0_arrays = [
+            jnp.asarray(np.array([descs[k][4] for k in range(i, j)], np.int32))
+            for i, j in groups
+        ]
+
+        # launch stream (no interleaved host transfers)
+        outs = []
+        for (i, j), f0s in zip(groups, f0_arrays):
+            plans = tuple(plan_of(descs[k][1]) for k in range(i, j))
+            outs.extend(
+                _grouped_packed_launch(
+                    table, tuple(windows[i:j]), f0s, state0.cfg, plans,
+                    (tstr_entry,) * (j - i), ch, interpret=interp,
+                )
+            )
+
+        # downloads
+        return np.concatenate(
+            [np.asarray(o)[: d[0]] for o, d in zip(outs, descs)], axis=0
         )
 
     def _advance(self, n_frames: int) -> None:

@@ -914,6 +914,13 @@ WIDE_MAX_LAUNCH_FRAMES = 64   # caps the duplicated kv layout's footprint
 # blows the 16M scoped-vmem stack (measured 21-22M); with the tap axis in
 # the GRID, each step touches (512, 128) slices only.
 WIDE_MAC_BLOCK = 512
+# Whole-window MAC hybrid: when w itself is below this bound, the MAC block
+# is the WHOLE window (one tap-grid step), recovering the faster
+# single-visit form (902x vs 864x at radius 1003, benchmarks/RESULTS.md) —
+# the Mosaic stack cost scales ~linearly with the block rows (measured
+# 21-22M at w=6032), so w <= 3072 stays ~11M under the 16M scoped-vmem
+# limit. Hardware-verified at the bound by tools/verify_tpu.py.
+WIDE_WHOLE_MAC_MAX_W = 3072
 
 
 def _kernel_wide_taps(
@@ -931,6 +938,8 @@ def _kernel_wide_taps(
     w: int,         # static true window rows (taps + 8)
     span: int,      # static rows per group window (>= 7*d + w + slack)
     tile0: int,
+    mac_block: int, # static MAC rows per tap-grid step (w itself when the
+                    # whole-window form is stack-safe; WIDE_MAC_BLOCK else)
 ):
     """Raw tap sums for 8 output frames with the input resident in HBM.
 
@@ -970,13 +979,14 @@ def _kernel_wide_taps(
     # which is pulled back to end exactly at w (its kernel column zeroes the
     # overlap with the previous block) so the kernel never reads past a
     # frame's true w-row window — the caller contract guarantees only w.
-    # min() expresses both cases uniformly (w >= KB always: taps > 1024).
-    kb0 = jnp.minimum(k * WIDE_MAC_BLOCK, w - WIDE_MAC_BLOCK)
+    # min() expresses both cases uniformly (w >= KB always; equality in the
+    # whole-window hybrid, where the single block IS the window).
+    kb0 = jnp.minimum(k * mac_block, w - mac_block)
     rows_out = []
     for n in range(WIDE_FRAME_GROUP):
         off = pl.multiple_of(o_ref[jf * WIDE_FRAME_GROUP + n], 8)
         start = pl.multiple_of(off + kb0, 8)
-        win = scratch[pl.ds(start, WIDE_MAC_BLOCK), :]
+        win = scratch[pl.ds(start, mac_block), :]
         kcol = kv_ref[:, n : n + 1]
         terms = _macc(win, kcol, jnp.zeros_like(win))
         rows_out.append(jnp.sum(terms, axis=0, keepdims=True))   # (1, 128)
@@ -1052,23 +1062,26 @@ def resample_wide_taps(
         a - jnp.repeat(gbase, WIDE_FRAME_GROUP), 0, span - w
     )                                                    # (N,) 8-aligned
     kv8 = _phase_shift_kvals(kvals, m)                   # (N, W)
+    # Whole-window hybrid: one tap-grid step when the single-block MAC is
+    # stack-safe (see WIDE_WHOLE_MAC_MAX_W) — fewer out-block revisits.
+    mac_block = w if w <= WIDE_WHOLE_MAC_MAX_W else WIDE_MAC_BLOCK
     # Per-MAC-block kernel columns: block k holds taps [k*KB, k*KB+KB),
     # except the LAST block, pulled back to end at w with its overlap taps
     # zeroed (see the kernel's kb0) — so nothing reads past the w-row
     # window and the pad taps stay exact zeros.
-    n_k = -(-w // WIDE_MAC_BLOCK)
-    if n_k * WIDE_MAC_BLOCK != w:
-        head = kv8[:, : (n_k - 1) * WIDE_MAC_BLOCK]
-        overlap = n_k * WIDE_MAC_BLOCK - w
+    n_k = -(-w // mac_block)
+    if n_k * mac_block != w:
+        head = kv8[:, : (n_k - 1) * mac_block]
+        overlap = n_k * mac_block - w
         tail = jnp.concatenate(
             [
                 jnp.zeros((kv8.shape[0], overlap), kv8.dtype),
-                kv8[:, (n_k - 1) * WIDE_MAC_BLOCK :],
+                kv8[:, (n_k - 1) * mac_block :],
             ],
             axis=1,
         )
         kv8 = jnp.concatenate([head, tail], axis=1)      # (N, n_k*KB)
-    w_blocks = n_k * WIDE_MAC_BLOCK
+    w_blocks = n_k * mac_block
     # Group layout: (W_blocks, G*128), group g's frames in lanes g*128..+8.
     n_groups = n_out // WIDE_FRAME_GROUP
     kvg = kv8.reshape(n_groups, WIDE_FRAME_GROUP, w_blocks).transpose(0, 2, 1)
@@ -1078,7 +1091,7 @@ def resample_wide_taps(
         num_scalar_prefetch=2,
         grid=(lanes // LANES, n_groups, n_k),
         in_specs=[
-            pl.BlockSpec((WIDE_MAC_BLOCK, LANES),
+            pl.BlockSpec((mac_block, LANES),
                          lambda i, jf, k, *_: (k, jf),
                          memory_space=pltpu.VMEM),
             # Explicitly HBM: pl.ANY let the compiler pull the whole input
@@ -1096,7 +1109,8 @@ def resample_wide_taps(
         ],
     )
     acc = pl.pallas_call(
-        partial(_kernel_wide_taps, w=w, span=span, tile0=tile0),
+        partial(_kernel_wide_taps, w=w, span=span, tile0=tile0,
+                mac_block=mac_block),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, lanes), jnp.int32),
         interpret=interpret,

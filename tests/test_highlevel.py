@@ -160,7 +160,7 @@ def test_resample_stream_bulk_fallbacks_lossless():
     # force the device-budget overflow mid-drain: frames already pulled from
     # the callback must be replayed into the host loop
     tiny = HighLevelResampler.init(1, 48000, 44100, 44100)
-    tiny.BULK_MAX_DEVICE_BYTES = 1 << 20      # ~2k-frame cap
+    tiny.BULK_MAX_DEVICE_BYTES = 1 << 14      # ~1.4k-frame cap
     got = tiny.resample_stream(make_input(), bulk=True)
     np.testing.assert_array_equal(got, want)
 

@@ -60,3 +60,60 @@ def _replay(name, meta, ops, expected_out, stream):
 )
 def test_lowlevel_script(script):
     _replay(*script)
+
+
+@pytest.mark.parametrize("in_rate,out_rate,ch,n_in", [
+    (48000, 44100, 2, 2600),    # tiled engine
+    (96000, 48000, 1, 5200),    # polyphase strided engine
+    (44100, 8000, 2, 14000),    # general engine
+])
+def test_batched_tile_dispatch_bit_exact(monkeypatch, in_rate, out_rate, ch, n_in):
+    """The grouped multi-tile device dispatch (_compute_frames_batched: all
+    windows uploaded first, TILE_LAUNCH_GROUP independent launches fused per
+    program, downloads last) must be bit-equal to the XLA gather oracle.
+    MAX_CHUNK_OUTPUT_FRAMES is shrunk so a moderate stream spans many tiles,
+    exercising the grouping, the tail-tile shape change, and the device-side
+    int16->int32 lane packing."""
+    from clownresampler_tpu import lowlevel
+
+    monkeypatch.setattr(lowlevel, "MAX_CHUNK_OUTPUT_FRAMES", 512)
+
+    rng = np.random.default_rng(101)
+    data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
+
+    fast = LowLevelResampler.init(ch, in_rate, out_rate,
+                                  max(in_rate, out_rate), interpret=True)
+    oracle_rs = LowLevelResampler.init(ch, in_rate, out_rate,
+                                       max(in_rate, out_rate))
+    r = fast.config.integer_stretched_kernel_radius
+    padded = np.zeros((n_in + 2 * r, ch), np.int16)
+    padded[r : r + n_in] = data
+
+    _, _, got = fast.resample(padded, n_in)
+    _, _, want = oracle_rs.resample(padded, n_in)
+    assert got.shape[0] > 512, "stream too short to exercise multiple tiles"
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_tile_dispatch_wide_kernel(monkeypatch):
+    """Wide kernels (taps > FAST_KERNEL_MAX_TAPS) through the same batched
+    dispatch: several WIDE_MAX_LAUNCH_FRAMES tiles grouped per program,
+    bit-equal to the gather oracle (the bulk path no longer declines wide
+    ratios)."""
+    rng = np.random.default_rng(103)
+    in_rate, out_rate, ch = 44100, 132, 1      # radius 1003, taps 2008
+    n_in = 60000                                # ~180 output frames, 3 tiles
+
+    data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
+    fast = LowLevelResampler.init(ch, in_rate, out_rate, in_rate,
+                                  interpret=True)
+    assert fast._max_taps > 1024
+    oracle_rs = LowLevelResampler.init(ch, in_rate, out_rate, in_rate)
+    r = fast.config.integer_stretched_kernel_radius
+    padded = np.zeros((n_in + 2 * r, ch), np.int16)
+    padded[r : r + n_in] = data
+
+    _, _, got = fast.resample(padded, n_in)
+    _, _, want = oracle_rs.resample(padded, n_in)
+    assert got.shape[0] >= 128
+    np.testing.assert_array_equal(got, want)

@@ -186,6 +186,43 @@ def main() -> int:
         failures += 1
         print(f"FAIL shard-mapped compiled farm (dp=1 TPU mesh): {type(e).__name__}: {e}")
 
+    # 3c. DMA wide kernel (taps > FAST_KERNEL_MAX_TAPS) either side of the
+    # whole-window MAC hybrid boundary (WIDE_WHOLE_MAC_MAX_W): 44100->87
+    # gives w=3056 (whole-window MAC, the stack-safety frontier) and
+    # 44100->86 gives w=3088 (tap-grid blocks). Scoped-vmem OOMs surface
+    # only at compile time, so both forms must compile on the chip.
+    from clownresampler_tpu.ops.pallas_resample import (
+        WIDE_WHOLE_MAC_MAX_W,
+        resample_wide_taps,
+        strided_table_device,
+    )
+    from clownresampler_tpu.models import DEFAULT_MODEL
+
+    for out_rate in (87, 86):
+        cfg = configure(44100, out_rate, 44100)
+        inc = fx.calculate_ratio(44100, out_rate)
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        w = max_taps + 8
+        mode = "whole" if w <= WIDE_WHOLE_MAC_MAX_W else "block"
+        n_out = 32
+        s = ((n_out * inc) >> 16) + max_taps + 64
+        s = -(-s // 16) * 16
+        x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
+        state = make_device_state(0, 0x1234, cfg, inc)
+        tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                                    cfg.kernel_step_size, max_taps)
+        got, _ = resample_wide_taps(table, x, state, max_taps=max_taps,
+                                    n_out=n_out, d=inc >> 16, table_strided=tstr)
+        n = jnp.arange(n_out, dtype=jnp.int32)
+        pos, frac = fx.positions_from_state(
+            state.position_integer, state.position_fractional,
+            state.cfg.increment_hi, state.cfg.increment_lo, n)
+        want = convolve_frames(table, x, pos, frac, state.cfg, max_taps)
+        ok = np.array_equal(np.asarray(got), np.asarray(want))
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'} compiled wide kernel {mode}-MAC "
+              f"boundary (44100->{out_rate}, w={w})")
+
     # 4. Full ratio domain on hardware: replay the C-oracle wide-kernel
     # streaming scripts (radius 1003 / 3007 — the oracle-fallback path the
     # width guard routes to on TPU) bit-for-bit.
