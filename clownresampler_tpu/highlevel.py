@@ -275,10 +275,15 @@ class HighLevelResampler:
             and ll.position_fractional == 0
         )
 
-    # Device-memory budget for one bulk invocation (the uploaded int16 tile
-    # windows plus every ch-lane int32 output tile stay resident across the
-    # launch stream); streams past it take the host chunk loop.
-    BULK_MAX_DEVICE_BYTES = 3 << 30
+    # Total device-traffic budget for one bulk invocation. Device RESIDENCY
+    # is already bounded by the low-level dispatch
+    # (LowLevelResampler.BATCH_DEVICE_BUDGET_BYTES: over-budget streams run
+    # as several sequential upload->launch->download cycles), so this cap
+    # only bounds the cycle count (a handful of transfer/execute turnarounds
+    # per call keeps the relay well clear of the documented interleaving
+    # degradation) and the host-side working set; streams past it take the
+    # host chunk loop.
+    BULK_MAX_DEVICE_BYTES = 16 << 30
 
     def _resample_stream_bulk(
         self, input_callback: InputCallback, n_in: int = 2048,

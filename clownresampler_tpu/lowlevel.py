@@ -518,6 +518,15 @@ class LowLevelResampler:
     # exercises the same dispatch the chip runs (mirrors farm.interpret).
     interpret: bool = False
 
+    # Device-resident byte budget for ONE upload->launch->download cycle of
+    # the batched tile dispatch (_compute_frames_batched). A cycle keeps all
+    # its int16 windows and ch-lane int32 outputs resident at once; streams
+    # whose tiles exceed the budget run as several sequential cycles, so a
+    # direct resample() call over an arbitrarily long input keeps a bounded
+    # device footprint (the guarantee the old one-tile-at-a-time dispatch
+    # gave) while tiles within each cycle still overlap on device.
+    BATCH_DEVICE_BUDGET_BYTES = 2 << 30
+
     @classmethod
     def init(
         cls,
@@ -788,8 +797,10 @@ class LowLevelResampler:
         (~1.7-2.4x one serialized chain, benchmarks/RESULTS.md), and the
         int16/ch-lane packing in _grouped_packed_launch keeps host traffic at
         stream width instead of the kernels' 128-lane int32 tiles. Transfer
-        discipline: every window and phase array is uploaded before the first
-        launch; every download happens after the last one.
+        discipline: windows and phases are uploaded before their cycle's
+        first launch and downloaded after its last one; streams past
+        BATCH_DEVICE_BUDGET_BYTES run as several such cycles (see the class
+        attribute).
         """
         ch = self.channels
         interp = self.interpret
@@ -821,34 +832,66 @@ class LowLevelResampler:
             groups.append((i, j))
             i = j
 
-        # uploads (all before the first launch)
-        windows = []
-        for tile, n_pad, rows, p0, f0 in descs:
-            w = np.zeros((rows, ch), np.int16)
-            avail = min(rows, padded_input.shape[0] - p0)
-            if avail > 0:
-                w[:avail] = padded_input[p0 : p0 + avail]
-            windows.append(jnp.asarray(w))
-        f0_arrays = [
-            jnp.asarray(np.array([descs[k][4] for k in range(i, j)], np.int32))
-            for i, j in groups
-        ]
+        # super-groups: consecutive groups whose combined resident footprint
+        # (int16 windows + ch-lane outputs, plus one program's transient
+        # 128-lane widened tiles) fits BATCH_DEVICE_BUDGET_BYTES; each runs
+        # its own upload->launch->download cycle and frees its arrays before
+        # the next, bounding device memory for arbitrarily long streams.
+        super_groups: list[list[tuple[int, int]]] = []
+        cur: list[tuple[int, int]] = []
+        resident = 0
+        for (i, j) in groups:
+            g_res = sum(
+                descs[k][2] * ch * 2 + descs[k][1] * ch * 4
+                for k in range(i, j)
+            )
+            g_tmp = sum(
+                (descs[k][2] + descs[k][1]) * 128 * 4 for k in range(i, j)
+            )
+            if cur and resident + g_res + g_tmp > self.BATCH_DEVICE_BUDGET_BYTES:
+                super_groups.append(cur)
+                cur, resident = [], 0
+            cur.append((i, j))
+            resident += g_res
+        super_groups.append(cur)
 
-        # launch stream (no interleaved host transfers)
-        outs = []
-        for (i, j), f0s in zip(groups, f0_arrays):
-            plans = tuple(plan_of(descs[k][1]) for k in range(i, j))
-            outs.extend(
-                _grouped_packed_launch(
-                    table, tuple(windows[i:j]), f0s, state0.cfg, plans,
-                    (tstr_entry,) * (j - i), ch, interpret=interp,
+        chunks = []
+        for sg in super_groups:
+            lo, hi = sg[0][0], sg[-1][1]
+            # uploads (all before the super-group's first launch)
+            windows = []
+            for tile, n_pad, rows, p0, f0 in descs[lo:hi]:
+                w = np.zeros((rows, ch), np.int16)
+                avail = min(rows, padded_input.shape[0] - p0)
+                if avail > 0:
+                    w[:avail] = padded_input[p0 : p0 + avail]
+                windows.append(jnp.asarray(w))
+            f0_arrays = [
+                jnp.asarray(
+                    np.array([descs[k][4] for k in range(i, j)], np.int32)
                 )
+                for i, j in sg
+            ]
+
+            # launch stream (no interleaved host transfers within the cycle)
+            outs = []
+            for (i, j), f0s in zip(sg, f0_arrays):
+                plans = tuple(plan_of(descs[k][1]) for k in range(i, j))
+                outs.extend(
+                    _grouped_packed_launch(
+                        table, tuple(windows[i - lo : j - lo]), f0s,
+                        state0.cfg, plans, (tstr_entry,) * (j - i), ch,
+                        interpret=interp,
+                    )
+                )
+
+            # downloads; dropping the jnp references frees the cycle's
+            # device arrays before the next cycle uploads
+            chunks.extend(
+                np.asarray(o)[: d[0]] for o, d in zip(outs, descs[lo:hi])
             )
 
-        # downloads
-        return np.concatenate(
-            [np.asarray(o)[: d[0]] for o, d in zip(outs, descs)], axis=0
-        )
+        return np.concatenate(chunks, axis=0)
 
     def _advance(self, n_frames: int) -> None:
         t = self.position_fractional + n_frames * self.increment

@@ -117,3 +117,33 @@ def test_batched_tile_dispatch_wide_kernel(monkeypatch):
     _, _, want = oracle_rs.resample(padded, n_in)
     assert got.shape[0] >= 128
     np.testing.assert_array_equal(got, want)
+
+
+def test_batched_tile_dispatch_super_groups(monkeypatch):
+    """Streams past BATCH_DEVICE_BUDGET_BYTES split into several sequential
+    upload->launch->download cycles (bounded device residency for direct
+    resample() calls of any length); the cycle boundaries must not change a
+    byte vs the oracle."""
+    from clownresampler_tpu import lowlevel
+
+    monkeypatch.setattr(lowlevel, "MAX_CHUNK_OUTPUT_FRAMES", 512)
+
+    rng = np.random.default_rng(107)
+    in_rate, out_rate, ch, n_in = 48000, 44100, 2, 4000
+    data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
+
+    fast = LowLevelResampler.init(ch, in_rate, out_rate,
+                                  max(in_rate, out_rate), interpret=True)
+    # ~786 KB transient per 1024-row tile: a 2 MB budget forces several
+    # super-groups while still letting some hold more than one group
+    fast.BATCH_DEVICE_BUDGET_BYTES = 2 << 20
+    oracle_rs = LowLevelResampler.init(ch, in_rate, out_rate,
+                                       max(in_rate, out_rate))
+    r = fast.config.integer_stretched_kernel_radius
+    padded = np.zeros((n_in + 2 * r, ch), np.int16)
+    padded[r : r + n_in] = data
+
+    _, _, got = fast.resample(padded, n_in)
+    _, _, want = oracle_rs.resample(padded, n_in)
+    assert got.shape[0] > 1024, "stream too short to span several cycles"
+    np.testing.assert_array_equal(got, want)
