@@ -15,6 +15,8 @@ Configs (BASELINE.json):
       resample_stream(bulk) route: independent launches, batch-speed)
   8.  wide-kernel domain 44.1k->132 (radius 1003, taps 2008): the DMA-based
       wide fast path vs the XLA gather oracle it replaced
+  8c. widest accepted ratio 44.1k->44 (radius 3007, taps 6016): the blocked
+      tap-grid path past the whole-window MAC boundary
 
 Methodology: the K-SLOPE CHAIN (see bench.py docstring): K kernel iterations
 chained inside one jitted lax.scan with data feedback (x[0,0] += out[0,0]&1),
@@ -42,7 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7", "7b", "8"]
+CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7", "7b", "8", "8c"]
 
 K1, K2 = 8, 40
 
@@ -634,6 +636,45 @@ def run_config(which: str) -> None:
 
         _report("config8b wide-kernel oracle fallback (XLA gather) same ratio x64 stereo",
                 n_out * lanes_o, _kslope(body_oracle, x1), 0.222)
+
+    elif which == "8c":
+        # the de facto WIDEST accepted ratio (44100->44, radius 3007 /
+        # taps 6016): the whole-window MAC hybrid exceeds the Mosaic stack
+        # here, so this exercises the 512-row blocked tap-grid path — the
+        # slowest point of the accepted domain, on record. C anchor scales
+        # the 33-tap scalar loop by tap count: 13.5 * 33/6016 = 0.0741
+        # Msamples/s.
+        from clownresampler_tpu import fixedpoint as fx
+        from clownresampler_tpu.configure import configure
+        from clownresampler_tpu.lowlevel import make_device_state
+        from clownresampler_tpu.models import DEFAULT_MODEL
+        from clownresampler_tpu.ops.pallas_resample import (
+            resample_wide_taps,
+            strided_table_device,
+        )
+
+        cfg = configure(44100, 44, 44100)
+        inc = fx.calculate_ratio(44100, 44)
+        taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        assert taps > 3072, taps  # past WIDE_WHOLE_MAC_MAX_W: blocked path
+        n_out, lanes = 64, 256
+        s = ((n_out * inc) >> 16) + taps + 64
+        s = -(-s // 16) * 16
+        x0 = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
+        state = make_device_state(0, 0x4321, cfg, inc)
+        tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                                    cfg.kernel_step_size, taps)
+        jax.block_until_ready(x0)
+
+        def body_widest(x):
+            out, _ = resample_wide_taps(
+                table, x, state, max_taps=taps, n_out=n_out, d=inc >> 16,
+                table_strided=tstr)
+            return x.at[0, 0].add(out[0, 0] & 1)
+
+        _report("config8c widest ratio 44.1k->44 radius 3007 x128 stereo (blocked tap-grid)",
+                n_out * lanes, _kslope(body_widest, x0), 0.0741)
 
     else:
         raise SystemExit(f"unknown config {which}")
