@@ -1064,6 +1064,10 @@ def resample_wide_taps(
     kv8 = _phase_shift_kvals(kvals, m)                   # (N, W)
     # Whole-window hybrid: one tap-grid step when the single-block MAC is
     # stack-safe (see WIDE_WHOLE_MAC_MAX_W) — fewer out-block revisits.
+    # Larger BLOCKED sizes measured perf-neutral at radius 3007 (3072-row
+    # blocks: identical 0.419 ms/iter — the path is MAC/DMA-volume-bound,
+    # not revisit-bound) and waste up to mac_block-8 zero-padded MAC rows
+    # for widths just past a block boundary, so 512 stays.
     mac_block = w if w <= WIDE_WHOLE_MAC_MAX_W else WIDE_MAC_BLOCK
     # Per-MAC-block kernel columns: block k holds taps [k*KB, k*KB+KB),
     # except the LAST block, pulled back to end at w with its overlap taps
