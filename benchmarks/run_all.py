@@ -536,16 +536,20 @@ def run_config(which: str) -> None:
         # segment's window row and phase are closed-form host ints, so the
         # reference's sequential chunk loop becomes INDEPENDENT batch
         # launches that overlap on device — no scan serialization at all.
-        # Measured as the library dispatches it: TILE_LAUNCH_GROUP
-        # independent windows per program, sequential per-segment phases.
+        # Measured through the REAL fused program the dispatch runs
+        # (_grouped_packed_launch): int16 ch-lane windows widened/lane-padded
+        # ON DEVICE, TILE_LAUNCH_GROUP independent launches, outputs trimmed
+        # back to ch lanes — so the number includes the packing work the
+        # library's program actually performs, not just the bare kernels.
         from clownresampler_tpu import fixedpoint as fx
         from clownresampler_tpu.configure import configure
-        from clownresampler_tpu.lowlevel import TILE_LAUNCH_GROUP, make_device_state
-        from clownresampler_tpu.models import DEFAULT_MODEL
-        from clownresampler_tpu.ops.pallas_resample import (
-            multi_resample,
-            strided_table_device,
+        from clownresampler_tpu.lowlevel import (
+            TILE_LAUNCH_GROUP,
+            _grouped_packed_launch,
+            make_device_state,
         )
+        from clownresampler_tpu.models import DEFAULT_MODEL
+        from clownresampler_tpu.ops.pallas_resample import strided_table_device
 
         in_rate, out_rate, lanes, seg_out = 44100, 8000, 2048, 2048
         cfg = configure(in_rate, out_rate, in_rate)
@@ -555,12 +559,11 @@ def run_config(which: str) -> None:
         rows = -(-rows // 16) * 16
         g = TILE_LAUNCH_GROUP
         xs0 = tuple(jnp.asarray(
-            rng.integers(-32768, 32768, size=(rows, lanes)).astype(np.int32))
+            rng.integers(-32768, 32768, size=(rows, lanes)).astype(np.int16))
             for _ in range(g))
-        states = tuple(
-            make_device_state(0, (j * seg_out * inc) & 0xFFFF, cfg, inc)
-            for j in range(g)
-        )
+        f0s = jnp.asarray(
+            np.array([(j * seg_out * inc) & 0xFFFF for j in range(g)], np.int32))
+        cfg_scalars = make_device_state(0, 0, cfg, inc).cfg
         plans = tuple(("general", None, None, taps, seg_out, False)
                       for _ in range(g))
         tstrs = tuple(strided_table_device(
@@ -569,8 +572,12 @@ def run_config(which: str) -> None:
         jax.block_until_ready(list(xs0))
 
         def body(xs):
-            outs = multi_resample(table, xs, states, plans, tstrs=tstrs)
-            return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
+            outs = _grouped_packed_launch(
+                table, xs, f0s, cfg_scalars, plans, tstrs, lanes)
+            return tuple(
+                x.at[0, 0].add((o[0, 0] & 1).astype(jnp.int16))
+                for x, o in zip(xs, outs)
+            )
 
         _report("config7b whole-stream bulk 44.1k->8k x1024 stereo (closed-form segments, 4 grouped launches)",
                 g * seg_out * lanes, _kslope(body, xs0), 27.0)

@@ -449,12 +449,50 @@ OutputCallback = Callable[[np.ndarray], bool]
 TILE_LAUNCH_GROUP = 4
 
 
-def _plan_cand(increment: int) -> int:
-    """The tiled kernel's per-tile window-candidate count for this increment
-    (plan_uniform's jitter bound; only meaningful when increment < 2^17)."""
-    from clownresampler_tpu.ops.pallas_resample import plan_uniform
+def _pack_super_groups(
+    descs: list, ch: int, budget: int
+) -> list[list[tuple[int, int]]]:
+    """Pack tile descriptors into launch groups and budgeted cycles.
 
-    return plan_uniform(increment, 0)["cand"]
+    Groups are runs of consecutive same-shape tiles (same n_pad and rows),
+    TILE_LAUNCH_GROUP tiles max — each group becomes one fused device
+    program. Super-groups are runs of consecutive groups whose combined
+    resident footprint (int16 windows + ch-lane int32 outputs, plus the
+    current program's transient 128-lane widened tiles) fits ``budget``;
+    each super-group runs one upload->launch->download cycle and drops its
+    device references before the next, bounding device memory for
+    arbitrarily long streams.
+    """
+    groups = []
+    i = 0
+    while i < len(descs):
+        j = i + 1
+        while (
+            j < len(descs)
+            and j - i < TILE_LAUNCH_GROUP
+            and descs[j][1:3] == descs[i][1:3]
+        ):
+            j += 1
+        groups.append((i, j))
+        i = j
+
+    super_groups: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    resident = 0
+    for (i, j) in groups:
+        g_res = sum(
+            descs[k][2] * ch * 2 + descs[k][1] * ch * 4 for k in range(i, j)
+        )
+        g_tmp = sum(
+            (descs[k][2] + descs[k][1]) * 128 * 4 for k in range(i, j)
+        )
+        if cur and resident + g_res + g_tmp > budget:
+            super_groups.append(cur)
+            cur, resident = [], 0
+        cur.append((i, j))
+        resident += g_res
+    super_groups.append(cur)
+    return super_groups
 
 
 @partial(jax.jit, static_argnames=("plans", "ch", "interpret"))
@@ -707,8 +745,10 @@ class LowLevelResampler:
                     self.model.radius, self.model.resolution,
                     self.config.kernel_step_size, self._max_taps,
                 )
-            return self._compute_frames_batched(padded_input, descs, kind,
-                                                table, tstr)
+            return self._compute_frames_batched(
+                padded_input, descs, kind, table, tstr,
+                cand=plan["cand"] if use_fast and kind == "tiled" else None,
+            )
 
         # ---- sequential per-tile launches (single tile, or the oracle path)
         chunks = []
@@ -787,7 +827,8 @@ class LowLevelResampler:
         )
 
     def _compute_frames_batched(
-        self, padded_input: np.ndarray, descs: list, kind: str, table, tstr
+        self, padded_input: np.ndarray, descs: list, kind: str, table, tstr,
+        cand: Optional[int] = None,
     ) -> np.ndarray:
         """Launch many independent tiles, TILE_LAUNCH_GROUP per device program.
 
@@ -806,9 +847,13 @@ class LowLevelResampler:
         interp = self.interpret
         state0 = make_device_state(0, 0, self.config, self.increment)
         plan_of = {
+            # group=32 for 256-grain tiles mirrors the sequential path and is
+            # ~16% faster than the fleet default 8 even though the group's
+            # launches overlap (measured on hardware at the full-tile shape).
             "tiled": lambda n_pad: ("tiled", self.increment >> 16,
-                                    _plan_cand(self.increment), self._max_taps,
-                                    n_pad, False),
+                                    cand, self._max_taps,
+                                    n_pad, False, None, 0,
+                                    32 if n_pad % 256 == 0 else 8),
             "strided": lambda n_pad: ("strided", self.increment >> 16, None,
                                       self._max_taps, n_pad, False),
             "general": lambda n_pad: ("general", None, None, self._max_taps,
@@ -818,42 +863,9 @@ class LowLevelResampler:
         }[kind]
         tstr_entry = None if kind == "strided" else tstr
 
-        # group boundaries: consecutive same-shape tiles, TILE_LAUNCH_GROUP max
-        groups = []
-        i = 0
-        while i < len(descs):
-            j = i + 1
-            while (
-                j < len(descs)
-                and j - i < TILE_LAUNCH_GROUP
-                and descs[j][1:3] == descs[i][1:3]
-            ):
-                j += 1
-            groups.append((i, j))
-            i = j
-
-        # super-groups: consecutive groups whose combined resident footprint
-        # (int16 windows + ch-lane outputs, plus one program's transient
-        # 128-lane widened tiles) fits BATCH_DEVICE_BUDGET_BYTES; each runs
-        # its own upload->launch->download cycle and frees its arrays before
-        # the next, bounding device memory for arbitrarily long streams.
-        super_groups: list[list[tuple[int, int]]] = []
-        cur: list[tuple[int, int]] = []
-        resident = 0
-        for (i, j) in groups:
-            g_res = sum(
-                descs[k][2] * ch * 2 + descs[k][1] * ch * 4
-                for k in range(i, j)
-            )
-            g_tmp = sum(
-                (descs[k][2] + descs[k][1]) * 128 * 4 for k in range(i, j)
-            )
-            if cur and resident + g_res + g_tmp > self.BATCH_DEVICE_BUDGET_BYTES:
-                super_groups.append(cur)
-                cur, resident = [], 0
-            cur.append((i, j))
-            resident += g_res
-        super_groups.append(cur)
+        super_groups = _pack_super_groups(
+            descs, ch, self.BATCH_DEVICE_BUDGET_BYTES
+        )
 
         chunks = []
         for sg in super_groups:
@@ -885,11 +897,14 @@ class LowLevelResampler:
                     )
                 )
 
-            # downloads; dropping the jnp references frees the cycle's
-            # device arrays before the next cycle uploads
+            # downloads, then drop EVERY device reference the cycle holds
+            # (windows, phases, outputs) before the next cycle's uploads —
+            # otherwise this cycle's outputs stay resident alongside the next
+            # cycle's windows and peak use exceeds the budget.
             chunks.extend(
                 np.asarray(o)[: d[0]] for o, d in zip(outs, descs[lo:hi])
             )
+            del windows, f0_arrays, outs
 
         return np.concatenate(chunks, axis=0)
 

@@ -1135,9 +1135,13 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
     """Run several independent uniform-ratio launches as ONE device program.
 
     ``plans[i]`` is a hashable static tuple
-    (kind, d, cand, max_taps, n_out, clamp_s16[, lanes, lane_offset]) with
-    kind in {"tiled", "strided", "strided_xla", "general", "wide",
-    "oracle"}; xs[i]/states[i] are
+    (kind, d, cand, max_taps, n_out, clamp_s16[, lanes, lane_offset[, group]])
+    with kind in {"tiled", "strided", "strided_xla", "general", "wide",
+    "oracle"}; the optional trailing ``group`` overrides the tiled kernel's
+    frame-tiles per grid step (the batched tile dispatch passes 32 for
+    256-grain tiles — ~16% faster even when the group's launches overlap,
+    measured on hardware; fleet callers keep the default 8). xs[i]/states[i]
+    are
     that launch's input block and phase state. The optional
     (lanes, lane_offset) pair runs the launch over a column slice of xs[i]
     with no copy — splitting a wide fleet into several ~512-lane sub-launches
@@ -1168,6 +1172,7 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
                 table, x, st, max_taps=max_taps, n_out=n_out, d=d, cand=cand,
                 clamp_s16=clamp, interpret=interpret,
                 lanes=lanes, lane_offset=lane_offset, table_strided=tstr,
+                group=p[8] if len(p) > 8 else 8,
             )
         elif kind in ("strided", "strided_xla"):
             # "strided_xla" is an explicit caller downgrade (e.g. the farm's

@@ -95,7 +95,7 @@ def test_batched_tile_dispatch_bit_exact(monkeypatch, in_rate, out_rate, ch, n_i
     np.testing.assert_array_equal(got, want)
 
 
-def test_batched_tile_dispatch_wide_kernel(monkeypatch):
+def test_batched_tile_dispatch_wide_kernel():
     """Wide kernels (taps > FAST_KERNEL_MAX_TAPS) through the same batched
     dispatch: several WIDE_MAX_LAUNCH_FRAMES tiles grouped per program,
     bit-equal to the gather oracle (the bulk path no longer declines wide
@@ -119,29 +119,94 @@ def test_batched_tile_dispatch_wide_kernel(monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pack_super_groups_shapes():
+    """The cycle packer's unit contract: same-shape runs become
+    TILE_LAUNCH_GROUP-capped groups; cycles split exactly when the next
+    group's resident+transient footprint exceeds the budget, carrying the
+    PREVIOUS groups' resident arrays (windows+outputs) but not their
+    transients."""
+    from clownresampler_tpu.lowlevel import TILE_LAUNCH_GROUP, _pack_super_groups
+
+    # (tile, n_pad, rows, p0, f0): packing keys on n_pad/rows only
+    mk = lambda n_pad, rows: (n_pad, n_pad, rows, 0, 0)
+    ch = 2
+    res = lambda n_pad, rows: rows * ch * 2 + n_pad * ch * 4
+    tmp = lambda n_pad, rows: (rows + n_pad) * 128 * 4
+
+    # 6 same-shape tiles -> groups of 4 + 2; a shape change breaks a run
+    descs = [mk(512, 1024)] * 6 + [mk(256, 1024)]
+    sg = _pack_super_groups(descs, ch, 10 << 30)
+    assert TILE_LAUNCH_GROUP == 4
+    assert sg == [[(0, 4), (4, 6), (6, 7)]]   # one cycle, 3 groups
+
+    # budget tuned so the FIRST cycle holds exactly two groups, then splits:
+    # after groups 1+2 are resident, group 3's check is
+    # resident(g1+g2) + res(g3) + tmp(g3) > budget.
+    g_res = 4 * res(512, 1024)
+    g_tmp = 4 * tmp(512, 1024)
+    budget = 2 * g_res + g_tmp          # fits g1, then g2; g3 tips over
+    descs = [mk(512, 1024)] * 12
+    sg = _pack_super_groups(descs, ch, budget)
+    assert sg == [[(0, 4), (4, 8)], [(8, 12)]]
+
+    # a budget below one group still yields one group per cycle (never empty)
+    sg = _pack_super_groups(descs, ch, 1)
+    assert sg == [[(0, 4)], [(4, 8)], [(8, 12)]]
+
+
 def test_batched_tile_dispatch_super_groups(monkeypatch):
     """Streams past BATCH_DEVICE_BUDGET_BYTES split into several sequential
     upload->launch->download cycles (bounded device residency for direct
-    resample() calls of any length); the cycle boundaries must not change a
-    byte vs the oracle."""
+    resample() calls of any length); the cycle boundaries — including a
+    cycle holding SEVERAL groups followed by a split, which exercises the
+    windows[i-lo:j-lo] cycle-relative slicing — must not change a byte vs
+    the oracle."""
     from clownresampler_tpu import lowlevel
+    from clownresampler_tpu.lowlevel import _pack_super_groups
 
     monkeypatch.setattr(lowlevel, "MAX_CHUNK_OUTPUT_FRAMES", 512)
 
     rng = np.random.default_rng(107)
-    in_rate, out_rate, ch, n_in = 48000, 44100, 2, 4000
+    in_rate, out_rate, ch, n_in = 48000, 44100, 2, 7000
     data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
 
     fast = LowLevelResampler.init(ch, in_rate, out_rate,
                                   max(in_rate, out_rate), interpret=True)
-    # ~786 KB transient per 1024-row tile: a 2 MB budget forces several
-    # super-groups while still letting some hold more than one group
-    fast.BATCH_DEVICE_BUDGET_BYTES = 2 << 20
+    # Capture the descs the dispatch actually builds, then pick a budget that
+    # provably packs them as >=2 cycles with some cycle holding >=2 groups
+    # (a fixed byte count would silently stop exercising the multi-group
+    # cycle whenever the geometry formulas move).
+    captured = {}
+    orig = lowlevel.LowLevelResampler._compute_frames_batched
+
+    def spy(self, padded_input, descs, kind, table, tstr, cand=None):
+        captured["descs"] = descs
+        return orig(self, padded_input, descs, kind, table, tstr, cand)
+
+    monkeypatch.setattr(
+        lowlevel.LowLevelResampler, "_compute_frames_batched", spy
+    )
+
     oracle_rs = LowLevelResampler.init(ch, in_rate, out_rate,
                                        max(in_rate, out_rate))
     r = fast.config.integer_stretched_kernel_radius
     padded = np.zeros((n_in + 2 * r, ch), np.int16)
     padded[r : r + n_in] = data
+
+    probe = LowLevelResampler.init(ch, in_rate, out_rate,
+                                   max(in_rate, out_rate), interpret=True)
+    _, _, _ = probe.resample(padded, n_in)
+    descs = captured["descs"]
+    budget = None
+    # step must undercut the ~g_res-wide budget window in which a cycle
+    # holds >=2 groups before splitting (g_res is tens of KB here)
+    for cand_budget in range(1 << 20, 64 << 20, 1 << 14):
+        sg = _pack_super_groups(descs, ch, cand_budget)
+        if len(sg) >= 2 and any(len(cycle) >= 2 for cycle in sg):
+            budget = cand_budget
+            break
+    assert budget is not None, "no budget packs >=2 cycles with a multi-group cycle"
+    fast.BATCH_DEVICE_BUDGET_BYTES = budget
 
     _, _, got = fast.resample(padded, n_in)
     _, _, want = oracle_rs.resample(padded, n_in)
