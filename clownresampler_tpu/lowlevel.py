@@ -458,7 +458,7 @@ def _pack_super_groups(
     TILE_LAUNCH_GROUP tiles max — each group becomes one fused device
     program. Super-groups are runs of consecutive groups whose combined
     resident footprint (int16 windows + ch-lane int32 outputs, plus the
-    current program's transient 128-lane widened tiles) fits ``budget``;
+    current program's transient lane-padded widened tiles) fits ``budget``;
     each super-group runs one upload->launch->download cycle and drops its
     device references before the next, bounding device memory for
     arbitrarily long streams.
@@ -483,8 +483,9 @@ def _pack_super_groups(
         g_res = sum(
             descs[k][2] * ch * 2 + descs[k][1] * ch * 4 for k in range(i, j)
         )
+        lanes_pad = fx.round_up(ch, 128)
         g_tmp = sum(
-            (descs[k][2] + descs[k][1]) * 128 * 4 for k in range(i, j)
+            (descs[k][2] + descs[k][1]) * lanes_pad * 4 for k in range(i, j)
         )
         if cur and resident + g_res + g_tmp > budget:
             super_groups.append(cur)
@@ -657,6 +658,7 @@ class LowLevelResampler:
         # kernel (input stays in HBM) instead of the gather oracle.
         use_wide = on_device and self._max_taps > FAST_KERNEL_MAX_TAPS
         plan = plan_uniform(self.increment, 0) if use_fast else None
+        lanes_pad = fx.round_up(self.channels, 128)
         if use_fast:
             # Fast kernels keep their input block VMEM-resident, so each tile
             # gets a bounded row window (rebased positions) instead of the
@@ -667,7 +669,6 @@ class LowLevelResampler:
                 # Polyphase strided kernels over-read d*(w_load+8) rows past
                 # the last frame's window (strided_phase_padding contract).
                 slack = max(slack, strided_phase_padding(self._max_taps, d, 32) + 8)
-            lanes_pad = fx.round_up(self.channels, 128)
             rows_budget = 16384
             rows_per_tile = rows_budget - 2 * (self._max_taps // 2) - slack
             max_tile_frames = max(64, (rows_per_tile << 16) // self.increment - 8)
@@ -794,7 +795,7 @@ class LowLevelResampler:
                     )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             elif use_wide:
-                window = np.zeros((rows, 128), np.int32)
+                window = np.zeros((rows, lanes_pad), np.int32)
                 avail = min(rows, padded_input.shape[0] - p0)
                 if avail > 0:
                     window[:avail, : self.channels] = padded_input[p0 : p0 + avail]

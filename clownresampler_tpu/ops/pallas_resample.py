@@ -107,9 +107,9 @@ def precompute_launch(table, state: DeviceState, *, max_taps: int, n_out: int,
 # config -> (client, array): dryrun_multichip / the test conftest
 # re-initialize backends mid-process (clear_backends), which invalidates
 # earlier device arrays — so each entry remembers WHICH backend client built
-# it and is rebuilt (replacing the entry, releasing the dead client and its
-# arrays) whenever the active client differs. Keying on the config alone
-# bounds the cache at one live entry per config.
+# it; any rebuild first evicts EVERY entry built by a different (dead)
+# client, so defunct clients and their device arrays are released even for
+# configs never re-requested after the backend switch.
 _strided_table_cache: dict = {}
 
 
@@ -124,6 +124,8 @@ def strided_table_device(radius: int, resolution: int, step: int, max_taps: int)
     key = (radius, resolution, step, max_taps)
     hit = _strided_table_cache.get(key)
     if hit is None or hit[0] is not client:
+        for k in [k for k, v in _strided_table_cache.items() if v[0] is not client]:
+            del _strided_table_cache[k]
         arr = jnp.asarray(KernelModel(radius, resolution).strided_table(step, max_taps))
         _strided_table_cache[key] = (client, arr)
         return arr
@@ -1039,6 +1041,11 @@ def resample_wide_taps(
     assert lane_offset + lanes <= l
     assert n_out % WIDE_FRAME_GROUP == 0
     assert n_out <= WIDE_MAX_LAUNCH_FRAMES, "tile wide launches (dispatchers do)"
+    # Every alignment claim below (pl.multiple_of on off+kb0, the 8-aligned
+    # clamp bounds) presumes an 8-aligned reserved width; dispatchers round
+    # max_taps up, but a direct caller must too — silently wrong windows
+    # otherwise, so make the contract explicit.
+    assert max_taps % 8 == 0, "max_taps must be a multiple of 8"
     w = max_taps + 8
     assert w >= WIDE_MAC_BLOCK, "wide kernel serves taps > 1024 only"
     assert s >= w, "input shorter than one tap window"

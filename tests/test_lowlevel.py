@@ -153,6 +153,46 @@ def test_pack_super_groups_shapes():
     sg = _pack_super_groups(descs, ch, 1)
     assert sg == [[(0, 4)], [(4, 8)], [(8, 12)]]
 
+    # channels > 128: the transient charge is round_up(ch, 128) lanes (256
+    # here), matching what _grouped_packed_launch actually allocates — a
+    # 128-lane charge would undercount 2x and let a cycle bust the budget
+    ch2 = 130
+    res2 = lambda n_pad, rows: rows * ch2 * 2 + n_pad * ch2 * 4
+    tmp2 = lambda n_pad, rows: (rows + n_pad) * 256 * 4
+    g_res2 = 4 * res2(512, 1024)
+    g_tmp2 = 4 * tmp2(512, 1024)
+    budget2 = 2 * g_res2 + g_tmp2
+    assert _pack_super_groups(descs, ch2, budget2) == [[(0, 4), (4, 8)], [(8, 12)]]
+    # one byte less must tip the second group out — only true when the
+    # transient is charged at the full 256 lanes
+    assert _pack_super_groups(descs, ch2, budget2 - 1) == [
+        [(0, 4)], [(4, 8)], [(8, 12)]]
+
+
+def test_sequential_wide_tile_many_channels():
+    """A single-tile stream (the sequential dispatch path, <= 64 wide output
+    frames) through the wide kernel at channels > 128: the staging window
+    must widen to round_up(ch, 128) lanes exactly like the fast and batched
+    paths (a hardcoded 128-lane window raised on ch > 128 here while longer
+    streams of the same config succeeded through the batched dispatch)."""
+    rng = np.random.default_rng(109)
+    in_rate, out_rate, ch = 44100, 132, 130    # radius 1003, taps 2008
+    n_in = 12000                               # ~35 output frames: ONE tile
+
+    data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
+    fast = LowLevelResampler.init(ch, in_rate, out_rate, in_rate,
+                                  interpret=True)
+    assert fast._max_taps > 1024
+    oracle_rs = LowLevelResampler.init(ch, in_rate, out_rate, in_rate)
+    r = fast.config.integer_stretched_kernel_radius
+    padded = np.zeros((n_in + 2 * r, ch), np.int16)
+    padded[r : r + n_in] = data
+
+    _, _, got = fast.resample(padded, n_in)
+    _, _, want = oracle_rs.resample(padded, n_in)
+    assert 0 < got.shape[0] <= 64, "stream must stay a single wide tile"
+    np.testing.assert_array_equal(got, want)
+
 
 def test_batched_tile_dispatch_super_groups(monkeypatch):
     """Streams past BATCH_DEVICE_BUDGET_BYTES split into several sequential

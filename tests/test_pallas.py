@@ -507,3 +507,33 @@ def test_general_kernel_group32_bit_exact():
         table, x, state, max_taps=max_taps, n_out=n_out, group=32,
         interpret=True)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_wide_taps_rejects_unaligned_max_taps():
+    """resample_wide_taps' alignment proofs (8-aligned clamp bounds, the
+    pl.multiple_of claims) presume max_taps % 8 == 0 — the dispatchers round
+    up, so a direct caller passing an unaligned width must get an error, not
+    silently shifted windows."""
+    from clownresampler_tpu.ops.pallas_resample import resample_wide_taps
+
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg = configure(44100, 132, 44100)
+    inc = fx.calculate_ratio(44100, 132)
+    state = make_device_state(0, 0, cfg, inc)
+    x = jnp.zeros((4096, 128), jnp.int32)
+    with pytest.raises(AssertionError, match="multiple of 8"):
+        resample_wide_taps(table, x, state, max_taps=2001, n_out=8,
+                           d=inc >> 16, interpret=True)
+
+
+def test_strided_table_cache_evicts_dead_clients():
+    """A rebuild after a backend re-initialization sweeps EVERY entry built
+    by a defunct client, including configs never re-requested — otherwise
+    the dead client and its device arrays stay pinned forever."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    dead_key = ("dead-client-sentinel",)
+    pr._strided_table_cache[dead_key] = (object(), None)
+    # an uncached config on the LIVE client triggers the rebuild path
+    pr.strided_table_device(3, 0x400, 123, 8)
+    assert dead_key not in pr._strided_table_cache

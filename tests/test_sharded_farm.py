@@ -130,3 +130,28 @@ def test_sharded_farm_clamp_s16():
     b = np.concatenate([clamped.process(data), clamped.flush()], axis=1)
     assert b.dtype == np.int16
     np.testing.assert_array_equal(b, np.clip(a, -0x7FFF, 0x7FFF).astype(np.int16))
+
+
+def test_sharded_farm_wide_kernel_class():
+    """The WIDE kernel class (taps > FAST_KERNEL_MAX_TAPS, the DMA-based
+    resample_wide_taps path) through the shard-mapped launch == the
+    single-device farm; 44100->256 is the narrowest default-model ratio past
+    the guard (radius 517, taps 1040)."""
+    mesh = make_mesh()
+    n_streams, channels, chunk = 1024, 1, 3072
+    rng = np.random.default_rng(23)
+    chunks = [
+        rng.integers(-32768, 32768, (n_streams, chunk, channels)).astype(np.int16)
+        for _ in range(2)
+    ]
+    ref_farm = UniformStreamFarm(
+        n_streams, channels, 44100, 256, interpret=True, chunk_frames=chunk,
+    )
+    assert ref_farm._max_taps > 1024, "case must exercise the wide class"
+    sh_farm = ShardedStreamFarm(
+        mesh, n_streams, channels, 44100, 256, interpret=True,
+        chunk_frames=chunk,
+    )
+    want = _run(ref_farm, chunks)
+    got = _run(sh_farm, chunks)
+    np.testing.assert_array_equal(got, want)
