@@ -471,6 +471,40 @@ def test_wide_taps_kernel_bit_exact(in_rate, out_rate, p0, f0):
     )
 
 
+@pytest.mark.parametrize("in_rate,out_rate,p0,f0", [
+    (44100, 517, 5, 0x4321),   # taps 512
+    (44100, 349, 0, 0),        # taps 760
+    (44100, 262, 9, 0x8421),   # taps 1016 — just under FAST_KERNEL_MAX_TAPS
+])
+def test_wide_taps_kernel_medium_widths_bit_exact(in_rate, out_rate, p0, f0):
+    """resample_wide_taps == the oracle at MEDIUM tap widths (inside
+    FAST_KERNEL_MAX_TAPS but past the roll-free kv-shift guard) — the domain
+    the roll-path general kernel serves today. Groundwork for dispatching
+    these widths to the DMA kernel (tools/probe_midwide.py measures the
+    crossover on hardware)."""
+    from clownresampler_tpu.ops.pallas_resample import resample_wide_taps
+
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    state = make_device_state(p0, f0, cfg, inc)
+    max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    assert 248 < max_taps <= 1024, "case must sit in the medium-width band"
+    n_out = 16
+    s = p0 + ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 64
+    s = -(-s // 16) * 16
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _ = resample_wide_taps(
+        table, x, state, max_taps=max_taps, n_out=n_out, d=inc >> 16,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got), want, err_msg=f"{in_rate}->{out_rate} p0={p0} f0={f0}"
+    )
+
+
 def test_general_kernel_roll_path_bit_exact():
     """Tap widths past GENERAL_SHIFT_MAX_WLOAD use the roll variant of the
     general kernel (the roll-free body blows the Mosaic scoped-vmem stack

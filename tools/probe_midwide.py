@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Probe: roll-path general kernel vs the wide DMA kernel at MEDIUM tap
+widths (249..1016 — inside FAST_KERNEL_MAX_TAPS but past the roll-free
+kv-shift guard GENERAL_SHIFT_MAX_WLOAD).
+
+The general kernel serves these widths with a per-frame power-of-two aligned
+load + roll (the roll-free body blows the Mosaic scoped-vmem stack here,
+benchmarks/RESULTS.md round 3), and its VMEM-resident input block caps real
+frames well below the 128-frame n_out grain — padding frames MAC clamped
+junk. The wide DMA kernel (taps > 1024 today) has neither cost: roll-free
+phase-shifted kv, whole-window MAC (w <= 3072), 8-frame launch grain, input
+in HBM. This probe measures both on the same ratios to find the true
+crossover for the dispatch boundary.
+
+Usage:
+  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python tools/probe_midwide.py exact
+  python tools/probe_midwide.py time [lanes]     # on the real TPU
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# taps 512 / 760 / 1016 at the default model (radius 3, resolution 0x400)
+RATIOS = [(44100, 517), (44100, 349), (44100, 262)]
+
+
+def _setup(in_rate, out_rate, p0=5, f0=0x4321):
+    import jax.numpy as jnp
+
+    from clownresampler_tpu import fixedpoint as fx
+    from clownresampler_tpu.configure import configure
+    from clownresampler_tpu.lowlevel import make_device_state
+    from clownresampler_tpu.models import lanczos_kernel_table
+
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    state = make_device_state(p0, f0, cfg, inc)
+    taps = fx.round_up(2 * cfg.integer_stretched_kernel_radius, 8)
+    return table, cfg, inc, state, taps
+
+
+def exact():
+    """Bit-exactness of resample_wide_taps at medium widths vs the oracle."""
+    import jax.numpy as jnp
+
+    from clownresampler_tpu import fixedpoint as fx
+    from clownresampler_tpu.ops.convolve import convolve_frames
+    from clownresampler_tpu.ops.pallas_resample import resample_wide_taps
+
+    rng = np.random.default_rng(7)
+    n_out = 16
+    for in_rate, out_rate in RATIOS:
+        table, cfg, inc, state, taps = _setup(in_rate, out_rate)
+        s = 5 + ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 64
+        s = -(-s // 16) * 16
+        x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
+        n = jnp.arange(n_out, dtype=jnp.int32)
+        pos, frac = fx.positions_from_state(
+            state.position_integer, state.position_fractional,
+            state.cfg.increment_hi, state.cfg.increment_lo, n,
+        )
+        want = convolve_frames(table, x, pos, frac, state.cfg, taps)
+        got, _ = resample_wide_taps(
+            table, x, state, max_taps=taps, n_out=n_out, d=inc >> 16,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        modes = "interpret"
+        import jax
+        if jax.default_backend() == "tpu":
+            got_c, _ = resample_wide_taps(
+                table, x, state, max_taps=taps, n_out=n_out, d=inc >> 16,
+            )
+            np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want))
+            modes += " + compiled"
+        print(f"{in_rate}->{out_rate} taps={taps}: wide kernel bit-exact "
+              f"({modes})", flush=True)
+
+
+def timing(lanes=2048):
+    import jax
+    import jax.numpy as jnp
+
+    from clownresampler_tpu.models import DEFAULT_MODEL
+    from clownresampler_tpu.ops.pallas_resample import (
+        general_w_load,
+        resample_uniform_lanes_general,
+        resample_wide_taps,
+        strided_table_device,
+    )
+    from clownresampler_tpu.utils.profiling import measure_kernel_time
+
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()} lanes={lanes}", flush=True)
+
+    for in_rate, out_rate in RATIOS:
+        table, cfg, inc, state, taps = _setup(in_rate, out_rate, p0=0)
+        d = inc >> 16
+        tstr = strided_table_device(
+            DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+            cfg.kernel_step_size, taps,
+        )
+        w_load, shift = general_w_load(taps)
+        assert not shift, "case must exercise the roll path"
+
+        # --- general kernel at the dispatcher's launch shape: n_out=128,
+        # input block capped at the VMEM budget; frames whose windows
+        # exceed it clamp (junk results, identical MAC cost) — exactly the
+        # padding waste the real dispatch pays.
+        n_gen = 128
+        s = 12288
+        real = min(n_gen, ((s - taps - w_load) << 16) // inc)
+        x = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
+
+        def body_gen(c, state=state, taps=taps, tstr=tstr, n_gen=n_gen):
+            out, _ = resample_uniform_lanes_general(
+                table, c, state, max_taps=taps, n_out=n_gen,
+                table_strided=tstr)
+            return c.at[0, 0].add(out[0, 0] & 1)
+
+        g = measure_kernel_time(body_gen, x, n_gen * lanes, k1=16, k2=96)
+        g_real = real * lanes / g.seconds_per_launch
+        print(f"{in_rate}->{out_rate} taps={taps} general(roll,w_load={w_load}):"
+              f" {g.seconds_per_launch*1e3:.3f} ms/launch "
+              f"raw {g.samples_per_second/1e9:.2f} G, dispatch-real "
+              f"({real}/{n_gen} frames) {g_real/1e9:.2f} G", flush=True)
+
+        # --- wide DMA kernel, 64-frame launches (its dispatch grain)
+        n_w = 64
+        s_w = ((n_w * inc) >> 16) + taps + 64
+        s_w = -(-s_w // 16) * 16
+        xw = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s_w, lanes)).astype(np.int32))
+
+        def body_wide(c, state=state, taps=taps, tstr=tstr, d=d, n_w=n_w):
+            out, _ = resample_wide_taps(
+                table, c, state, max_taps=taps, n_out=n_w, d=d,
+                table_strided=tstr)
+            return c.at[0, 0].add(out[0, 0] & 1)
+
+        wst = measure_kernel_time(body_wide, xw, n_w * lanes, k1=16, k2=96)
+        print(f"{in_rate}->{out_rate} taps={taps} wide(DMA, whole-window):"
+              f" {wst.seconds_per_launch*1e3:.3f} ms/launch "
+              f"{wst.samples_per_second/1e9:.2f} G "
+              f"(x{wst.samples_per_second/g_real:.2f} vs general real)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "exact"
+    if mode == "exact":
+        exact()
+    else:
+        timing(int(sys.argv[2]) if len(sys.argv) > 2 else 2048)
