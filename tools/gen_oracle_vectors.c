@@ -569,6 +569,24 @@ int main(int argc, char **argv)
         run_highlevel_script(&pre, "hl_eof_prime", 2, 44100, 8000, 44100, ops, 3, chunks, 3, 2000);
     }
 
+    {
+        /* D7: MEDIUM-width kernels (taps 512/760 — inside the repo's
+           FAST_KERNEL_MAX_TAPS guard but past its roll-free kv-shift bound),
+           the band tools/probe_midwide.py measures for the dispatch
+           crossover. Chunked feeds exercise position carry at these widths;
+           the mid-script Adjust re-rates 44100->349 (radius 380) into
+           44100->517 (radius 256). Appended AFTER the earlier scripts so
+           their shared-PRNG streams stay byte-identical. */
+        static const long long ops_mid[] = {
+            1, 1500, 1000000, 0,
+            1, 700, 1000000, 0,
+            2, 44100, 517, 44100,
+            1, 1800, 1000000, 0,
+            1, 2000, 1000000, 0,
+        };
+        run_lowlevel_script(&pre, "ll_midwide", 2, 44100, 349, 44100, ops_mid, 5, 6000, 400);
+    }
+
     fprintf(manifest, "  \"_end\": 0\n}\n");
     fclose(manifest);
     fprintf(stderr, "done\n");
