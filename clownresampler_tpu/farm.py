@@ -36,6 +36,7 @@ from clownresampler_tpu.ops.pallas_resample import (
     plan_uniform,
     strided_phase_padding,
     strided_table_device,
+    wide_serves,
     window_rows_needed,
 )
 from clownresampler_tpu.utils import native
@@ -311,9 +312,24 @@ class UniformStreamFarm:
         else:
             plan = plan_uniform(self.increment, 0)
             kind, d, cand = plan["kernel"], plan.get("d"), plan.get("cand")
-            if kind in ("tiled", "general") and self._capacity > VMEM_SAFE_INPUT_ROWS:
-                kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
-            step = MAX_LAUNCH_OUTPUT_FRAMES
+            if kind == "general" and wide_serves(kind, self._max_taps):
+                # Medium-width general-class launches past the measured
+                # crossover (WIDE_DISPATCH_MIN_TAPS) run the DMA wide kernel;
+                # no VMEM row budget applies (staging stays in HBM) and the
+                # reserved-width read (max_taps + 8 per window) is covered by
+                # the tiled/general slack, which is >= radius_bound + 16
+                # (window_rows_needed(max_taps) >= 2*radius_bound alone).
+                from clownresampler_tpu.ops.pallas_resample import (
+                    WIDE_MAX_LAUNCH_FRAMES,
+                )
+
+                kind, d, cand = "wide", self.increment >> 16, None
+                step = WIDE_MAX_LAUNCH_FRAMES
+            else:
+                if (kind in ("tiled", "general")
+                        and self._capacity > VMEM_SAFE_INPUT_ROWS):
+                    kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
+                step = MAX_LAUNCH_OUTPUT_FRAMES
         # Padding granularity per kernel: tiled needs 8*group=64, the
         # general and polyphase strided kernels 8*group=256 (the fastest
         # measured group), the XLA strided path and the oracle only 8.

@@ -648,16 +648,26 @@ class LowLevelResampler:
             resample_wide_taps,
             strided_phase_padding,
             strided_table_device,
+            wide_serves,
             window_rows_needed,
         )
 
         table = self.model.table()
         on_device = _jax.default_backend() == "tpu" or self.interpret
-        use_fast = on_device and self._max_taps <= FAST_KERNEL_MAX_TAPS
+        plan = (
+            plan_uniform(self.increment, 0)
+            if on_device and self._max_taps <= FAST_KERNEL_MAX_TAPS
+            else None
+        )
         # Kernels past the VMEM-resident width guard run the DMA-based wide
-        # kernel (input stays in HBM) instead of the gather oracle.
-        use_wide = on_device and self._max_taps > FAST_KERNEL_MAX_TAPS
-        plan = plan_uniform(self.increment, 0) if use_fast else None
+        # kernel (input stays in HBM) instead of the gather oracle; general-
+        # class launches past the measured medium-width crossover
+        # (WIDE_DISPATCH_MIN_TAPS) route there too.
+        use_wide = on_device and (
+            self._max_taps > FAST_KERNEL_MAX_TAPS
+            or (plan is not None and wide_serves(plan["kernel"], self._max_taps))
+        )
+        use_fast = plan is not None and not use_wide
         lanes_pad = fx.round_up(self.channels, 128)
         if use_fast:
             # Fast kernels keep their input block VMEM-resident, so each tile

@@ -342,6 +342,32 @@ def general_w_load(max_taps: int) -> tuple:
     return w, False
 
 
+# Dispatch crossover for GENERAL-class launches in the medium-width band
+# (GENERAL_SHIFT_MAX_WLOAD - 8 < taps <= lowlevel.FAST_KERNEL_MAX_TAPS).
+# There the general kernel pays a per-frame power-of-two aligned load + roll
+# (the roll-free kv-shift body blows the Mosaic scoped-vmem stack, see
+# GENERAL_SHIFT_MAX_WLOAD) AND its VMEM-resident input block caps real frames
+# below the launch grain — padding frames MAC clamped junk. The DMA wide
+# kernel (resample_wide_taps) has neither cost: roll-free phase-shifted
+# kernel columns, whole-window MAC, input in HBM. Launches with taps above
+# this bound route to the wide kernel; tools/probe_midwide.py measures the
+# crossover on hardware. Set to the FAST_KERNEL_MAX_TAPS cap = no change
+# until the measurement lands.
+WIDE_DISPATCH_MIN_TAPS = 1024
+
+
+def wide_serves(plan_kernel: str, max_taps: int) -> bool:
+    """True when a launch of this plan class and RESERVED tap width should
+    run the DMA wide kernel instead of its VMEM-resident class kernel.
+
+    Only the general class crosses over: the tiled class never reaches
+    medium widths at sane models (taps = 2*radius at d <= 1) and the
+    polyphase strided kernels are faster than the wide kernel where they
+    apply. Callers past FAST_KERNEL_MAX_TAPS route wide unconditionally —
+    this predicate covers the band below it."""
+    return plan_kernel == "general" and max_taps > WIDE_DISPATCH_MIN_TAPS
+
+
 def _kernel_general(
     rows_ref,       # scalar prefetch (N,): per-frame window starts (ALIGNED
                     # when shift_kv, raw otherwise)
@@ -1047,7 +1073,10 @@ def resample_wide_taps(
     # otherwise, so make the contract explicit.
     assert max_taps % 8 == 0, "max_taps must be a multiple of 8"
     w = max_taps + 8
-    assert w >= WIDE_MAC_BLOCK, "wide kernel serves taps > 1024 only"
+    # Widths below WIDE_MAC_BLOCK run the whole-window hybrid (mac_block = w,
+    # one tap-grid step), so any 8-aligned width the dispatchers send is
+    # servable; the blocked path (w > WIDE_WHOLE_MAC_MAX_W) always has
+    # w >= WIDE_MAC_BLOCK.
     assert s >= w, "input shorter than one tap window"
     # Union span of a group's 8 windows: rows advance <= d+1 per frame plus
     # the group base's alignment loss. Capped by the buffer itself (legal

@@ -322,6 +322,42 @@ def test_wide_bound_farm_narrow_ratio_bit_exact():
                 got[i], want, err_msg=f"{in_rate}->{out_rate} stream {i}")
 
 
+def test_medium_width_farm_wide_dispatch_bit_exact(monkeypatch):
+    """With the medium-width crossover lowered (WIDE_DISPATCH_MIN_TAPS),
+    general-class farm launches in the band run the DMA wide kernel. Two
+    regimes: (a) the farm's ratio IS medium-width (taps 760), (b) the
+    reserve-gap — a medium RESERVED width over a narrow current ratio, where
+    the kernel reads the reserved window with surplus zero taps (the round-3
+    trap: clamps must not shift legal frames)."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    monkeypatch.setattr(pr, "WIDE_DISPATCH_MIN_TAPS", 504)
+
+    rng = np.random.default_rng(71)
+    ch, chunk = 1, 2048
+    data = rng.integers(-32768, 32768, size=(2, 2 * chunk, ch)).astype(np.int16)
+
+    for in_rate, out_rate, max_radius in [
+        (44100, 349, None),    # (a) medium-width ratio: radius 380, taps 760
+        (44100, 8000, 380),    # (b) narrow ratio under a medium reserve
+    ]:
+        farm = UniformStreamFarm(2, ch, in_rate, out_rate,
+                                 max(in_rate, out_rate), chunk_frames=chunk,
+                                 interpret=True, max_radius=max_radius)
+        assert 504 < farm._max_taps <= 1024, "farm must sit in the medium band"
+        specs, _ = farm._launch_specs(8)
+        assert specs[0][3][0] == "wide", specs[0][3]
+        chunks = data[:, :chunk], data[:, chunk:]
+        got = np.concatenate(
+            [farm.process(np.ascontiguousarray(c)) for c in chunks]
+            + [farm.flush()], axis=1)
+        for i in range(2):
+            want = _host_reference(data[i], ch, in_rate, out_rate,
+                                   max(in_rate, out_rate))
+            np.testing.assert_array_equal(
+                got[i], want, err_msg=f"{in_rate}->{out_rate} stream {i}")
+
+
 def test_mixed_farm_adjust_stream_capacity_drift():
     """Round-2 advisor repro: with chunk_frames=8192 and max_radius=30 the
     strided-slack reservation depends on the PRIMARY ratio, so migrating a

@@ -119,6 +119,43 @@ def test_batched_tile_dispatch_wide_kernel():
     np.testing.assert_array_equal(got, want)
 
 
+def test_medium_width_wide_dispatch_bit_exact(monkeypatch):
+    """With the medium-width crossover lowered (WIDE_DISPATCH_MIN_TAPS),
+    general-class launches in the band route to the DMA wide kernel and stay
+    bit-equal to the gather oracle. Guards the dispatch plumbing so flipping
+    the measured crossover constant is behavior-safe."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    monkeypatch.setattr(pr, "WIDE_DISPATCH_MIN_TAPS", 504)
+    calls = []
+    real_wide = pr.resample_wide_taps
+
+    def counting_wide(*args, **kwargs):
+        calls.append(kwargs.get("max_taps"))
+        return real_wide(*args, **kwargs)
+
+    monkeypatch.setattr(pr, "resample_wide_taps", counting_wide)
+
+    rng = np.random.default_rng(107)
+    in_rate, out_rate, ch = 44100, 349, 2      # taps 760: medium band
+    n_in = 30000                                # ~237 output frames, 4+ tiles
+
+    data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
+    fast = LowLevelResampler.init(ch, in_rate, out_rate, in_rate,
+                                  interpret=True)
+    assert 504 < fast._max_taps <= 1024
+    oracle_rs = LowLevelResampler.init(ch, in_rate, out_rate, in_rate)
+    r = fast.config.integer_stretched_kernel_radius
+    padded = np.zeros((n_in + 2 * r, ch), np.int16)
+    padded[r : r + n_in] = data
+
+    _, _, got = fast.resample(padded, n_in)
+    _, _, want = oracle_rs.resample(padded, n_in)
+    assert got.shape[0] >= 128
+    assert calls and all(t == fast._max_taps for t in calls), calls
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pack_super_groups_shapes():
     """The cycle packer's unit contract: same-shape runs become
     TILE_LAUNCH_GROUP-capped groups; cycles split exactly when the next

@@ -223,14 +223,41 @@ def main() -> int:
         print(f"{'PASS' if ok else 'FAIL'} compiled wide kernel {mode}-MAC "
               f"boundary (44100->{out_rate}, w={w})")
 
+    # 3d. DMA wide kernel at MEDIUM widths (inside FAST_KERNEL_MAX_TAPS):
+    # the band the WIDE_DISPATCH_MIN_TAPS crossover can route here
+    # (tools/probe_midwide.py). Must compile and match the oracle on the chip.
+    for out_rate in (517, 262):   # taps 512 / 1016
+        cfg = configure(44100, out_rate, 44100)
+        inc = fx.calculate_ratio(44100, out_rate)
+        max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        assert max_taps <= 1024, max_taps
+        n_out = 64
+        s = ((n_out * inc) >> 16) + max_taps + 64
+        s = -(-s // 16) * 16
+        x = jnp.asarray(rng.integers(-32768, 32768, size=(s, 128)).astype(np.int32))
+        state = make_device_state(0, 0x2345, cfg, inc)
+        tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                                    cfg.kernel_step_size, max_taps)
+        got, _ = resample_wide_taps(table, x, state, max_taps=max_taps,
+                                    n_out=n_out, d=inc >> 16, table_strided=tstr)
+        n = jnp.arange(n_out, dtype=jnp.int32)
+        pos, frac = fx.positions_from_state(
+            state.position_integer, state.position_fractional,
+            state.cfg.increment_hi, state.cfg.increment_lo, n)
+        want = convolve_frames(table, x, pos, frac, state.cfg, max_taps)
+        ok = np.array_equal(np.asarray(got), np.asarray(want))
+        failures += not ok
+        print(f"{'PASS' if ok else 'FAIL'} compiled wide kernel medium width "
+              f"(44100->{out_rate}, taps={max_taps})")
+
     # 4. Full ratio domain on hardware: replay the C-oracle wide-kernel
     # streaming scripts (radius 1003 / 3007 — the oracle-fallback path the
-    # width guard routes to on TPU) bit-for-bit.
+    # width guard routes to on TPU) plus the medium-width script bit-for-bit.
     from tests import oracle
     from tests.test_lowlevel import _replay
 
     for script in oracle.scripts("lowlevel"):
-        if script[0] not in ("ll_wide", "ll_ultrawide"):
+        if script[0] not in ("ll_wide", "ll_ultrawide", "ll_midwide"):
             continue
         try:
             _replay(*script)
