@@ -44,7 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7", "7b", "8", "8c"]
+CONFIGS = ["1", "1b", "2", "3", "4", "4b", "5", "6", "7", "7b", "8", "8c", "9"]
 
 K1, K2 = 8, 40
 
@@ -682,6 +682,72 @@ def run_config(which: str) -> None:
 
         _report("config8c widest ratio 44.1k->44 radius 3007 x128 stereo (blocked tap-grid)",
                 n_out * lanes, _kslope(body_widest, x0), 0.0741)
+
+    elif which == "9":
+        # MEDIUM-width band (taps 1016 — the top of the in-guard band, where
+        # the roll-path general kernel is weakest): both dispatch candidates
+        # at dispatch-realistic shapes, the measurement behind
+        # WIDE_DISPATCH_MIN_TAPS (see tools/probe_midwide.py for the sweep).
+        # C anchor: 13.5 Mfps x 33/1016 taps = 0.4385 Msamples/s mono.
+        from clownresampler_tpu import fixedpoint as fx
+        from clownresampler_tpu.configure import configure
+        from clownresampler_tpu.lowlevel import make_device_state
+        from clownresampler_tpu.models import DEFAULT_MODEL
+        from clownresampler_tpu.ops.pallas_resample import (
+            general_w_load,
+            resample_uniform_lanes_general,
+            resample_wide_taps,
+            strided_table_device,
+        )
+
+        cfg = configure(44100, 262, 44100)
+        inc = fx.calculate_ratio(44100, 262)
+        taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+        assert 504 < taps <= 1024, taps
+        lanes = 1024
+        state = make_device_state(0, 0x4321, cfg, inc)
+        tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                                    cfg.kernel_step_size, taps)
+
+        # (a) the roll-path general kernel at the dispatcher's launch shape:
+        # the VMEM input-row budget caps REAL frames below the 128-frame
+        # grain (padding frames MAC clamped junk at identical cost), so the
+        # honest rate counts only the real frames a dispatch launch emits.
+        n_gen = 128
+        w_load, shift = general_w_load(taps)
+        assert not shift, "config 9 must exercise the roll path"
+        s = 12288
+        real = min(n_gen, ((s - taps - w_load) << 16) // inc)
+        x0 = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
+        jax.block_until_ready(x0)
+
+        def body_gen(x):
+            out, _ = resample_uniform_lanes_general(
+                table, x, state, max_taps=taps, n_out=n_gen,
+                table_strided=tstr)
+            return x.at[0, 0].add(out[0, 0] & 1)
+
+        _report(f"config9a medium band 44.1k->262 taps 1016 general roll path "
+                f"({real}/{n_gen} real frames) x512 stereo",
+                real * lanes, _kslope(body_gen, x0), 0.4385)
+
+        # (b) the DMA wide kernel at its dispatch grain (64-frame launches)
+        n_w = 64
+        s_w = ((n_w * inc) >> 16) + taps + 64
+        s_w = -(-s_w // 16) * 16
+        x1 = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s_w, lanes)).astype(np.int32))
+        jax.block_until_ready(x1)
+
+        def body_wide9(x):
+            out, _ = resample_wide_taps(
+                table, x, state, max_taps=taps, n_out=n_w, d=inc >> 16,
+                table_strided=tstr)
+            return x.at[0, 0].add(out[0, 0] & 1)
+
+        _report("config9b medium band 44.1k->262 taps 1016 wide DMA kernel x512 stereo",
+                n_w * lanes, _kslope(body_wide9, x1), 0.4385)
 
     else:
         raise SystemExit(f"unknown config {which}")
