@@ -45,6 +45,35 @@ def test_sharded_farm_matches_uniform_farm(in_rate, out_rate):
     np.testing.assert_array_equal(got, want, err_msg=f"{in_rate}->{out_rate}")
 
 
+def test_sharded_farm_medium_width_wide_dispatch(monkeypatch):
+    """With the medium-width crossover lowered (WIDE_DISPATCH_MIN_TAPS), the
+    shard-mapped farm's general-class launches run the DMA wide kernel too
+    (the dispatch lives in the shared _launch_specs) — still bit-equal to
+    the single-device farm."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    monkeypatch.setattr(pr, "WIDE_DISPATCH_MIN_TAPS", 504)
+    mesh = make_mesh()
+    n_streams, channels, chunk = 512, 1, 2048
+    in_rate, out_rate = 44100, 349          # taps 760: medium band
+    rng = np.random.default_rng(17)
+    chunks = [
+        rng.integers(-32768, 32768, (n_streams, chunk, channels)).astype(np.int16)
+        for _ in range(2)
+    ]
+    ref_farm = UniformStreamFarm(
+        n_streams, channels, in_rate, out_rate, interpret=True,
+        chunk_frames=chunk,
+    )
+    sh_farm = ShardedStreamFarm(
+        mesh, n_streams, channels, in_rate, out_rate, interpret=True,
+        chunk_frames=chunk,
+    )
+    specs, _ = sh_farm._launch_specs(8)
+    assert specs[0][3][0] == "wide", specs[0][3]
+    np.testing.assert_array_equal(_run(sh_farm, chunks), _run(ref_farm, chunks))
+
+
 def test_sharded_farm_adjust_pitch_bend():
     """Mid-stream adjust (position carry) matches the single-device farm."""
     mesh = make_mesh()
