@@ -152,9 +152,64 @@ def timing(lanes=2048):
               flush=True)
 
 
+def dma_split(lanes=1024):
+    """Estimate the wide kernel's DMA share: time the real launch vs one
+    called with d=0, which shrinks the per-group union-window DMA span from
+    7d+w+16 to w+16 rows with IDENTICAL MAC volume (outputs are garbage —
+    group windows get clamped — but the dependence chain still consumes
+    them, so nothing is DCE'd). The time delta over the span delta prices
+    DMA bytes; decides whether double-buffering the group DMA (overlapping
+    group j+1's copy with group j's MACs) is worth building."""
+    import jax
+    import jax.numpy as jnp
+
+    from clownresampler_tpu.models import DEFAULT_MODEL
+    from clownresampler_tpu.ops.pallas_resample import (
+        resample_wide_taps,
+        strided_table_device,
+    )
+    from clownresampler_tpu.utils.profiling import measure_kernel_time
+
+    rng = np.random.default_rng(1)
+    print(f"backend={jax.default_backend()} lanes={lanes}", flush=True)
+    for in_rate, out_rate in [(44100, 132), (44100, 262)]:  # taps 2008 / 1016
+        table, cfg, inc, state, taps = _setup(in_rate, out_rate, p0=0)
+        d = inc >> 16
+        tstr = strided_table_device(
+            DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+            cfg.kernel_step_size, taps,
+        )
+        n_w = 64
+        s_w = ((n_w * inc) >> 16) + taps + 64
+        s_w = -(-s_w // 16) * 16
+        x = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s_w, lanes)).astype(np.int32))
+
+        results = {}
+        for label, dd in (("real-d", d), ("d=0 (DMA-starved)", 0)):
+            def body(c, dd=dd):
+                out, _ = resample_wide_taps(
+                    table, c, state, max_taps=taps, n_out=n_w, d=dd,
+                    table_strided=tstr)
+                return c.at[0, 0].add(out[0, 0] & 1)
+
+            st = measure_kernel_time(body, x, n_w * lanes, k1=16, k2=96)
+            results[label] = st.seconds_per_launch
+            print(f"{in_rate}->{out_rate} taps={taps} {label}: "
+                  f"{st.seconds_per_launch*1e3:.3f} ms/launch", flush=True)
+        a, b = results["real-d"], results["d=0 (DMA-starved)"]
+        w = taps + 8
+        span_full = 7 * d + w + 16
+        print(f"  -> span {span_full} vs {w + 16} rows; DMA share of the "
+              f"span delta: {(a - b) / a * 100:.1f}% of launch time",
+              flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "exact"
     if mode == "exact":
         exact()
+    elif mode == "dmasplit":
+        dma_split(int(sys.argv[2]) if len(sys.argv) > 2 else 1024)
     else:
         timing(int(sys.argv[2]) if len(sys.argv) > 2 else 2048)
