@@ -1010,15 +1010,7 @@ def _kernel_wide_taps(
     # min() expresses both cases uniformly (w >= KB always; equality in the
     # whole-window hybrid, where the single block IS the window).
     kb0 = jnp.minimum(k * mac_block, w - mac_block)
-    rows_out = []
-    for n in range(WIDE_FRAME_GROUP):
-        off = pl.multiple_of(o_ref[jf * WIDE_FRAME_GROUP + n], 8)
-        start = pl.multiple_of(off + kb0, 8)
-        win = scratch[pl.ds(start, mac_block), :]
-        kcol = kv_ref[:, n : n + 1]
-        terms = _macc(win, kcol, jnp.zeros_like(win))
-        rows_out.append(jnp.sum(terms, axis=0, keepdims=True))   # (1, 128)
-    part = jnp.concatenate(rows_out, axis=0)                     # (8, 128)
+    part = _wide_mac_part(scratch, o_ref, kv_ref, jf, kb0, mac_block)
 
     @pl.when(k == 0)
     def _():
@@ -1029,10 +1021,144 @@ def _kernel_wide_taps(
         out_ref[:, :] = out_ref[:, :] + part
 
 
+def _wide_mac_part(scratch, o_ref, kv_ref, jf, kb0, mac_block):
+    """One tap-block MAC for all 8 frames of group ``jf`` read from the
+    given group-window scratch buffer: (8, 128) partial tap sums."""
+    rows_out = []
+    for n in range(WIDE_FRAME_GROUP):
+        off = pl.multiple_of(o_ref[jf * WIDE_FRAME_GROUP + n], 8)
+        start = pl.multiple_of(off + kb0, 8)
+        win = scratch[pl.ds(start, mac_block), :]
+        kcol = kv_ref[:, n : n + 1]
+        terms = _macc(win, kcol, jnp.zeros_like(win))
+        rows_out.append(jnp.sum(terms, axis=0, keepdims=True))   # (1, 128)
+    return jnp.concatenate(rows_out, axis=0)                     # (8, 128)
+
+
+def _kernel_wide_taps_pipelined(
+    g_ref, o_ref, kv_ref, x_ref, out_ref,
+    scratch0, scratch1,      # VMEM (span, 128) DOUBLE-BUFFERED group windows
+    sem0, sem1,              # one DMA semaphore per buffer
+    *,
+    w: int,
+    span: int,
+    tile0: int,
+    mac_block: int,
+    n_i: int,                # static lane-tile count (grid dim 0 extent)
+    n_groups: int,           # static group count (grid dim 1 extent)
+):
+    """_kernel_wide_taps with the group-window DMA software-pipelined.
+
+    The plain kernel starts and immediately waits its group DMA at k == 0,
+    serializing the HBM copy against the group's MACs. Here group windows
+    alternate between two scratch buffers by GLOBAL group parity (the grid
+    runs lexicographically with k innermost, so (i, jf) pairs enumerate
+    groups in order and parity alternates step to step): at each group's
+    k == 0 the kernel waits the copy a PREVIOUS step already started into
+    this group's buffer, then starts the NEXT group's copy into the other
+    buffer — that copy proceeds while this group's n_k MAC steps run. The
+    first group self-starts. Buffer reuse is safe without extra sync: the
+    copy into a given buffer is started by the group immediately before
+    its reader and targets the buffer the PREVIOUS-previous group finished
+    reading at its own last grid step (grid steps execute in order; only
+    the copies are asynchronous). Parity branches duplicate the MAC body
+    so every scratch reference stays static (dynamic ref selection would
+    load both buffers). Costs a second (span, 128) buffer — the dispatcher
+    gates on the scoped-vmem estimate (wide_pipeline_auto)."""
+    i = pl.program_id(0)
+    jf = pl.program_id(1)
+    k = pl.program_id(2)
+    gidx = i * n_groups + jf
+    par = jax.lax.rem(gidx, 2)
+
+    def copy(dst, sem, base, lane_i):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(base, span), pl.ds((lane_i + tile0) * LANES, LANES)],
+            dst,
+            sem,
+        )
+
+    @pl.when(k == 0)
+    def _():
+        base_cur = pl.multiple_of(g_ref[jf], 8)
+        last_j = jf == n_groups - 1
+        j2 = jnp.where(last_j, 0, jf + 1)
+        i2 = jnp.where(last_j, i + 1, i)
+        nxt_valid = i2 < n_i
+        i2c = jnp.minimum(i2, n_i - 1)
+        base_nxt = pl.multiple_of(g_ref[j2], 8)
+
+        @pl.when(gidx == 0)
+        def _():
+            copy(scratch0, sem0, base_cur, i).start()
+
+        @pl.when(par == 0)
+        def _():
+            copy(scratch0, sem0, base_cur, i).wait()
+
+            @pl.when(nxt_valid)
+            def _():
+                copy(scratch1, sem1, base_nxt, i2c).start()
+
+        @pl.when(par == 1)
+        def _():
+            copy(scratch1, sem1, base_cur, i).wait()
+
+            @pl.when(nxt_valid)
+            def _():
+                copy(scratch0, sem0, base_nxt, i2c).start()
+
+    kb0 = jnp.minimum(k * mac_block, w - mac_block)
+
+    @pl.when(par == 0)
+    def _():
+        part = _wide_mac_part(scratch0, o_ref, kv_ref, jf, kb0, mac_block)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:, :] = part
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[:, :] = out_ref[:, :] + part
+
+    @pl.when(par == 1)
+    def _():
+        part = _wide_mac_part(scratch1, o_ref, kv_ref, jf, kb0, mac_block)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:, :] = part
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[:, :] = out_ref[:, :] + part
+
+
+# Gate for the double-buffered group-DMA variant (see
+# _kernel_wide_taps_pipelined): overlap costs a second (span, 128) scratch
+# buffer, so it must fit the v5e 16M scoped-vmem budget next to the MAC
+# stack (~8 unrolled frames x (mac_block, 128) int32 temporaries, measured
+# 21-22M at mac_block 6032 => ~512 B/row) and the kv/out blocks. OFF by
+# default until the overlap is measured on hardware
+# (tools/probe_midwide.py dmasplit + the pipelined timing).
+WIDE_PIPELINE_ENABLED = False
+WIDE_PIPELINE_VMEM_BUDGET = 14 * (1 << 20)
+
+
+def wide_pipeline_auto(w: int, mac_block: int, span: int) -> bool:
+    """Default pipeline choice for resample_wide_taps: on only when enabled
+    AND the doubled scratch + MAC stack estimate fits the scoped budget."""
+    if not WIDE_PIPELINE_ENABLED:
+        return False
+    est = (WIDE_FRAME_GROUP * mac_block + 2 * span + 2 * mac_block) * 512
+    return est <= WIDE_PIPELINE_VMEM_BUDGET
+
+
 @partial(
     jax.jit,
     static_argnames=("max_taps", "n_out", "d", "clamp_s16", "interpret",
-                     "lanes", "lane_offset"),
+                     "lanes", "lane_offset", "pipeline"),
 )
 def resample_wide_taps(
     table,
@@ -1049,6 +1175,7 @@ def resample_wide_taps(
     lanes: Optional[int] = None,
     lane_offset: int = 0,
     table_strided=None,
+    pipeline: Optional[bool] = None,  # None = wide_pipeline_auto
 ):
     """Any-ratio resample for kernels wider than the VMEM-resident paths.
 
@@ -1105,6 +1232,8 @@ def resample_wide_taps(
     # not revisit-bound) and waste up to mac_block-8 zero-padded MAC rows
     # for widths just past a block boundary, so 512 stays.
     mac_block = w if w <= WIDE_WHOLE_MAC_MAX_W else WIDE_MAC_BLOCK
+    if pipeline is None:
+        pipeline = wide_pipeline_auto(w, mac_block, span)
     # Per-MAC-block kernel columns: block k holds taps [k*KB, k*KB+KB),
     # except the LAST block, pulled back to end at w with its overlap taps
     # zeroed (see the kernel's kb0) — so nothing reads past the w-row
@@ -1143,14 +1272,29 @@ def resample_wide_taps(
             (WIDE_FRAME_GROUP, LANES), lambda i, jf, k, *_: (jf, i),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((span, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((span, LANES), jnp.int32),
+                pltpu.VMEM((span, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+            if pipeline
+            else [
+                pltpu.VMEM((span, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        ),
+    )
+    kern = (
+        partial(_kernel_wide_taps_pipelined, w=w, span=span, tile0=tile0,
+                mac_block=mac_block, n_i=lanes // LANES, n_groups=n_groups)
+        if pipeline
+        else partial(_kernel_wide_taps, w=w, span=span, tile0=tile0,
+                     mac_block=mac_block)
     )
     acc = pl.pallas_call(
-        partial(_kernel_wide_taps, w=w, span=span, tile0=tile0,
-                mac_block=mac_block),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, lanes), jnp.int32),
         interpret=interpret,

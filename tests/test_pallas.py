@@ -505,6 +505,40 @@ def test_wide_taps_kernel_medium_widths_bit_exact(in_rate, out_rate, p0, f0):
     )
 
 
+@pytest.mark.parametrize("in_rate,out_rate,n_out,lanes_n", [
+    (44100, 132, 24, 256),   # taps 2008, whole-window MAC; 3 groups (odd
+                             # parity wrap) x 2 lane tiles (i-boundary
+                             # prefetch)
+    (44100, 44, 16, 128),    # radius 3007: blocked tap grid (n_k > 1)
+    (44100, 349, 16, 256),   # medium band (taps 760)
+])
+def test_wide_taps_pipelined_bit_exact(in_rate, out_rate, n_out, lanes_n):
+    """The double-buffered group-DMA variant == the oracle: the prefetch
+    schedule (parity alternation, next-group/next-lane-tile targets, first
+    group self-start) must not change a single sample."""
+    from clownresampler_tpu.ops.pallas_resample import resample_wide_taps
+
+    table = jnp.asarray(lanczos_kernel_table())
+    cfg = configure(in_rate, out_rate, max(in_rate, out_rate))
+    inc = fx.calculate_ratio(in_rate, out_rate)
+    state = make_device_state(3, 0x7531, cfg, inc)
+    max_taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
+    s = 3 + ((n_out * inc) >> 16) + 2 * cfg.integer_stretched_kernel_radius + 64
+    s = -(-s // 16) * 16
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(
+        rng.integers(-32768, 32768, size=(s, lanes_n)).astype(np.int32))
+    want = np.asarray(_oracle(table, x, state, max_taps, n_out))
+    got, _ = resample_wide_taps(
+        table, x, state, max_taps=max_taps, n_out=n_out, d=inc >> 16,
+        interpret=True, pipeline=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got), want,
+        err_msg=f"{in_rate}->{out_rate} n_out={n_out} lanes={lanes_n}",
+    )
+
+
 def test_general_kernel_roll_path_bit_exact():
     """Tap widths past GENERAL_SHIFT_MAX_WLOAD use the roll variant of the
     general kernel (the roll-free body blows the Mosaic scoped-vmem stack
