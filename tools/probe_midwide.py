@@ -205,11 +205,66 @@ def dma_split(lanes=1024):
               flush=True)
 
 
+def pipeline_timing(lanes=1024):
+    """Single-buffer vs double-buffered (pipelined) wide kernel. Run after
+    `dmasplit` says the DMA share is worth hiding; also proves the
+    predicated-DMA kernel compiles on the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from clownresampler_tpu.models import DEFAULT_MODEL
+    from clownresampler_tpu.ops.pallas_resample import (
+        resample_wide_taps,
+        strided_table_device,
+    )
+    from clownresampler_tpu.utils.profiling import measure_kernel_time
+
+    rng = np.random.default_rng(2)
+    print(f"backend={jax.default_backend()} lanes={lanes}", flush=True)
+    # taps 2008 (config 8), 1016 (medium top), 6016 (widest, big 2x span)
+    for in_rate, out_rate in [(44100, 132), (44100, 262), (44100, 44)]:
+        table, cfg, inc, state, taps = _setup(in_rate, out_rate, p0=0)
+        d = inc >> 16
+        tstr = strided_table_device(
+            DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+            cfg.kernel_step_size, taps,
+        )
+        n_w = 64
+        s_w = ((n_w * inc) >> 16) + taps + 64
+        s_w = -(-s_w // 16) * 16
+        x = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s_w, lanes)).astype(np.int32))
+        base = None
+        for pipe in (False, True):
+            def body(c, pipe=pipe):
+                out, _ = resample_wide_taps(
+                    table, c, state, max_taps=taps, n_out=n_w, d=d,
+                    table_strided=tstr, pipeline=pipe)
+                return c.at[0, 0].add(out[0, 0] & 1)
+
+            try:
+                st = measure_kernel_time(body, x, n_w * lanes, k1=16, k2=96)
+            except Exception as e:
+                print(f"{in_rate}->{out_rate} taps={taps} pipeline={pipe}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                continue
+            extra = ""
+            if pipe and base:
+                extra = f" (x{base / st.seconds_per_launch:.2f} vs single)"
+            else:
+                base = st.seconds_per_launch
+            print(f"{in_rate}->{out_rate} taps={taps} pipeline={pipe}: "
+                  f"{st.seconds_per_launch*1e3:.3f} ms/launch "
+                  f"{st.samples_per_second/1e9:.2f} G{extra}", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "exact"
     if mode == "exact":
         exact()
     elif mode == "dmasplit":
         dma_split(int(sys.argv[2]) if len(sys.argv) > 2 else 1024)
+    elif mode == "pipeline":
+        pipeline_timing(int(sys.argv[2]) if len(sys.argv) > 2 else 1024)
     else:
         timing(int(sys.argv[2]) if len(sys.argv) > 2 else 2048)
