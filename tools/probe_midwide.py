@@ -24,8 +24,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# taps 512 / 760 / 1016 at the default model (radius 3, resolution 0x400)
-RATIOS = [(44100, 517), (44100, 349), (44100, 262)]
+# taps ~272 / ~384 / 512 / 760 / 1016 at the default model (radius 3,
+# resolution 0x400) — the whole roll-path band (249..1016)
+RATIOS = [(44100, 991), (44100, 689), (44100, 517), (44100, 349), (44100, 262)]
 
 
 def _setup(in_rate, out_rate, p0=5, f0=0x4321):
