@@ -119,14 +119,19 @@ def test_batched_tile_dispatch_wide_kernel():
     np.testing.assert_array_equal(got, want)
 
 
-def test_medium_width_wide_dispatch_bit_exact(monkeypatch):
+@pytest.mark.parametrize("in_rate,out_rate,threshold", [
+    (44100, 349, 504),   # taps 760 through a mid-band crossover
+    (44100, 991, 248),   # taps 272 — the bottom of the roll-path band
+])
+def test_medium_width_wide_dispatch_bit_exact(monkeypatch, in_rate, out_rate,
+                                              threshold):
     """With the medium-width crossover lowered (WIDE_DISPATCH_MIN_TAPS),
     general-class launches in the band route to the DMA wide kernel and stay
     bit-equal to the gather oracle. Guards the dispatch plumbing so flipping
     the measured crossover constant is behavior-safe."""
     from clownresampler_tpu.ops import pallas_resample as pr
 
-    monkeypatch.setattr(pr, "WIDE_DISPATCH_MIN_TAPS", 504)
+    monkeypatch.setattr(pr, "WIDE_DISPATCH_MIN_TAPS", threshold)
     calls = []
     real_wide = pr.resample_wide_taps
 
@@ -137,13 +142,13 @@ def test_medium_width_wide_dispatch_bit_exact(monkeypatch):
     monkeypatch.setattr(pr, "resample_wide_taps", counting_wide)
 
     rng = np.random.default_rng(107)
-    in_rate, out_rate, ch = 44100, 349, 2      # taps 760: medium band
-    n_in = 30000                                # ~237 output frames, 4+ tiles
+    ch = 2
+    n_in = 30000
 
     data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
     fast = LowLevelResampler.init(ch, in_rate, out_rate, in_rate,
                                   interpret=True)
-    assert 504 < fast._max_taps <= 1024
+    assert threshold < fast._max_taps <= 1024
     oracle_rs = LowLevelResampler.init(ch, in_rate, out_rate, in_rate)
     r = fast.config.integer_stretched_kernel_radius
     padded = np.zeros((n_in + 2 * r, ch), np.int16)
