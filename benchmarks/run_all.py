@@ -758,6 +758,13 @@ def main() -> None:
         run_config(sys.argv[2])
         return
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from bench import _wait_for_backend
+
+    if not _wait_for_backend():
+        print(json.dumps({"metric": "suite",
+                          "error": "accelerator backend unavailable"}),
+              flush=True)
+        return
     for which in CONFIGS:
         try:
             r = subprocess.run(
