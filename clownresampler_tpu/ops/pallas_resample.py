@@ -1146,13 +1146,17 @@ WIDE_PIPELINE_ENABLED = False
 WIDE_PIPELINE_VMEM_BUDGET = 14 * (1 << 20)
 
 
+def wide_pipeline_fits(w: int, mac_block: int, span: int) -> bool:
+    """Scoped-vmem budget test for the double-buffered variant: the doubled
+    scratch + MAC stack estimate must fit next to the kv/out blocks."""
+    est = (WIDE_FRAME_GROUP * mac_block + 2 * span + 2 * mac_block) * 512
+    return est <= WIDE_PIPELINE_VMEM_BUDGET
+
+
 def wide_pipeline_auto(w: int, mac_block: int, span: int) -> bool:
     """Default pipeline choice for resample_wide_taps: on only when enabled
     AND the doubled scratch + MAC stack estimate fits the scoped budget."""
-    if not WIDE_PIPELINE_ENABLED:
-        return False
-    est = (WIDE_FRAME_GROUP * mac_block + 2 * span + 2 * mac_block) * 512
-    return est <= WIDE_PIPELINE_VMEM_BUDGET
+    return WIDE_PIPELINE_ENABLED and wide_pipeline_fits(w, mac_block, span)
 
 
 @partial(

@@ -222,6 +222,35 @@ def main() -> int:
         failures += not ok
         print(f"{'PASS' if ok else 'FAIL'} compiled wide kernel {mode}-MAC "
               f"boundary (44100->{out_rate}, w={w})")
+        # The double-buffered group-DMA variant must stay bit-exact COMPILED
+        # (the prefetch schedule is timing-sensitive by construction;
+        # interpret mode cannot catch a real DMA/MAC overlap hazard). Only
+        # at shapes whose doubled scratch fits the scoped-vmem budget — the
+        # same predicate the production auto gate applies.
+        from clownresampler_tpu.ops.pallas_resample import (
+            WIDE_MAC_BLOCK,
+            wide_pipeline_fits,
+        )
+
+        mac_block = w if w <= WIDE_WHOLE_MAC_MAX_W else WIDE_MAC_BLOCK
+        d_ = inc >> 16
+        span = min(-(-(7 * d_ + w + 16) // 8) * 8, (s // 8) * 8)
+        if not wide_pipeline_fits(w, mac_block, span):
+            print(f"SKIP compiled wide kernel {mode}-MAC PIPELINED "
+                  f"(44100->{out_rate}, w={w}): over the scoped-vmem budget"
+                  " (auto gate would never pick it here)")
+        else:
+            try:
+                got_p, _ = resample_wide_taps(
+                    table, x, state, max_taps=max_taps, n_out=n_out,
+                    d=d_, table_strided=tstr, pipeline=True)
+                ok = np.array_equal(np.asarray(got_p), np.asarray(want))
+            except Exception as e:
+                ok = False
+                print(f"  pipelined raised {type(e).__name__}: {str(e)[:160]}")
+            failures += not ok
+            print(f"{'PASS' if ok else 'FAIL'} compiled wide kernel {mode}-MAC "
+                  f"PIPELINED (44100->{out_rate}, w={w})")
 
     # 3d. DMA wide kernel at MEDIUM widths (inside FAST_KERNEL_MAX_TAPS):
     # the band the WIDE_DISPATCH_MIN_TAPS crossover can route here
@@ -249,6 +278,16 @@ def main() -> int:
         failures += not ok
         print(f"{'PASS' if ok else 'FAIL'} compiled wide kernel medium width "
               f"(44100->{out_rate}, taps={max_taps})")
+        w = max_taps + 8
+        span = min(-(-(7 * (inc >> 16) + w + 16) // 8) * 8, (s // 8) * 8)
+        if wide_pipeline_fits(w, w, span):   # medium widths: whole-window MAC
+            got_p, _ = resample_wide_taps(
+                table, x, state, max_taps=max_taps, n_out=n_out,
+                d=inc >> 16, table_strided=tstr, pipeline=True)
+            ok = np.array_equal(np.asarray(got_p), np.asarray(want))
+            failures += not ok
+            print(f"{'PASS' if ok else 'FAIL'} compiled wide kernel medium "
+                  f"width PIPELINED (44100->{out_rate}, taps={max_taps})")
 
     # 4. Full ratio domain on hardware: replay the C-oracle wide-kernel
     # streaming scripts (radius 1003 / 3007 — the oracle-fallback path the
