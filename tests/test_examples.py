@@ -80,3 +80,22 @@ def test_multichip_farm_example():
     assert r.returncode == 0, r.stderr[-800:]
     assert "sharded farm: 128 streams" in r.stdout
     assert "per-stream adjust" in r.stdout
+
+
+def test_bench_cpu_smoke():
+    """bench.py — the driver's recorded entrypoint — must run off-TPU in its
+    interpret smoke mode and emit one parseable JSON record flagged as a
+    smoke run (real rates come only from the TPU)."""
+    import json
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO, capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["unit"] == "Msamples/s"
+    assert rec["value"] > 0
+    assert "smoke" in rec
