@@ -43,16 +43,26 @@ def _wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 180.0
     minutes, then raises UNAVAILABLE); a hung init in THIS process is
     unrecoverable, so probe from short-lived subprocesses and only let the
     main process touch JAX once a probe has seen a live backend. Returns
-    False when the backend never came up within the budget."""
+    False when the backend never came up within the budget.
+
+    A probe only counts if it lands on an ACCELERATOR backend — unless the
+    caller explicitly pinned the CPU platform (the documented smoke mode).
+    Otherwise a fast-failing TPU init that silently falls back to CPU would
+    pass the gate and the headline metric would get a meaningless record."""
+    probe_src = (
+        "import os, jax; assert jax.devices(); "
+        "assert jax.default_backend() != 'cpu' or "
+        "'cpu' in os.environ.get('JAX_PLATFORMS', '').lower(), "
+        "jax.default_backend(); "
+        "import jax.numpy as jnp; jnp.arange(4).sum().block_until_ready()"
+    )
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
         try:
             r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; assert jax.devices(); "
-                 "import jax.numpy as jnp; jnp.arange(4).sum().block_until_ready()"],
+                [sys.executable, "-c", probe_src],
                 timeout=probe_timeout_s, capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             )

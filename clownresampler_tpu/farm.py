@@ -298,11 +298,21 @@ class UniformStreamFarm:
         ops.pallas_resample.multi_resample launches, so a MixedStreamFarm can
         fuse every group's sub-launches into ONE device program.
         """
-        kind = None
-        if self._max_taps > FAST_KERNEL_MAX_TAPS:
-            # DMA-based wide kernel (see ops.resample_wide_taps): the staging
-            # buffer stays in HBM, so no VMEM row budget applies; launches
-            # are capped at the wide kernel's frame bound.
+        if self._max_taps <= FAST_KERNEL_MAX_TAPS:
+            plan = plan_uniform(self.increment, 0)
+            kind, d, cand = plan["kernel"], plan.get("d"), plan.get("cand")
+        else:
+            kind = None   # past the fast-kernel guard: wide unconditionally
+        if kind is None or wide_serves(kind, self._max_taps):
+            # DMA-based wide kernel (see ops.resample_wide_taps) — past the
+            # fast-kernel guard unconditionally, and for general-class
+            # launches past the measured medium-width crossover
+            # (WIDE_DISPATCH_MIN_TAPS). The staging buffer stays in HBM, so
+            # no VMEM row budget applies; launches are capped at the wide
+            # kernel's frame bound. In the crossover band the reserved-width
+            # read (max_taps + 8 per window) is covered by the tiled/general
+            # slack, which is >= radius_bound + 16
+            # (window_rows_needed(max_taps) >= 2*radius_bound alone).
             from clownresampler_tpu.ops.pallas_resample import (
                 WIDE_MAX_LAUNCH_FRAMES,
             )
@@ -310,26 +320,10 @@ class UniformStreamFarm:
             kind, d, cand = "wide", self.increment >> 16, None
             step = WIDE_MAX_LAUNCH_FRAMES
         else:
-            plan = plan_uniform(self.increment, 0)
-            kind, d, cand = plan["kernel"], plan.get("d"), plan.get("cand")
-            if kind == "general" and wide_serves(kind, self._max_taps):
-                # Medium-width general-class launches past the measured
-                # crossover (WIDE_DISPATCH_MIN_TAPS) run the DMA wide kernel;
-                # no VMEM row budget applies (staging stays in HBM) and the
-                # reserved-width read (max_taps + 8 per window) is covered by
-                # the tiled/general slack, which is >= radius_bound + 16
-                # (window_rows_needed(max_taps) >= 2*radius_bound alone).
-                from clownresampler_tpu.ops.pallas_resample import (
-                    WIDE_MAX_LAUNCH_FRAMES,
-                )
-
-                kind, d, cand = "wide", self.increment >> 16, None
-                step = WIDE_MAX_LAUNCH_FRAMES
-            else:
-                if (kind in ("tiled", "general")
-                        and self._capacity > VMEM_SAFE_INPUT_ROWS):
-                    kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
-                step = MAX_LAUNCH_OUTPUT_FRAMES
+            if (kind in ("tiled", "general")
+                    and self._capacity > VMEM_SAFE_INPUT_ROWS):
+                kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
+            step = MAX_LAUNCH_OUTPUT_FRAMES
         # Padding granularity per kernel: tiled needs 8*group=64, the
         # general and polyphase strided kernels 8*group=256 (the fastest
         # measured group), the XLA strided path and the oracle only 8.
