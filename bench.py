@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 
-def _wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 180.0) -> bool:
+def _wait_for_backend(max_wait_s: float = 240.0, probe_timeout_s: float = 90.0) -> bool:
     """Gate on the accelerator backend actually initialising.
 
     The axon tunnel can be transiently unavailable (observed: init hangs for
@@ -44,6 +44,11 @@ def _wait_for_backend(max_wait_s: float = 1800.0, probe_timeout_s: float = 180.0
     unrecoverable, so probe from short-lived subprocesses and only let the
     main process touch JAX once a probe has seen a live backend. Returns
     False when the backend never came up within the budget.
+
+    The budget MUST stay well under the driver's own timeout: round 3 shipped
+    a 30-minute probe budget and the driver killed bench.py (rc=124) before
+    the designed error record ever printed. ~2 probes x 90 s + one 60 s sleep
+    = 4 minutes worst case, then the explicit error JSON goes out.
 
     A probe only counts if it lands on an ACCELERATOR backend — unless the
     caller explicitly pinned the CPU platform (the documented smoke mode).

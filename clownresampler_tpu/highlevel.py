@@ -358,10 +358,31 @@ class HighLevelResampler:
             _, _, out = ll.resample(padded, n)
         finally:
             ll.interpret = interp_prev
-        # Post-stream bookkeeping: positions advanced past the whole stream,
-        # flush consumed (generic finished state; see resample_stream doc).
-        ll.position_integer = 0
+        # Post-stream bookkeeping, C-EXACT (so incremental streaming may
+        # resume on this object and stay byte-identical to the host loop,
+        # tests/test_highlevel.py::test_bulk_then_incremental_resume):
+        #
+        # * position carry: ll.resample already left the exact final
+        #   LowLevel position of the host chunk loop — each input frame is
+        #   carry-subtracted exactly once whether the stream ran as one call
+        #   or many (clownresampler.h:1063-1068), so pos_int ends at
+        #   (T*increment >> 16) - n and pos_frac at (T*increment) & 0xFFFF
+        #   either way. Nothing to fix up.
+        # * padding counters: the host loop ends with both at zero — priming
+        #   is complete and ResampleEnd consumed the trailing flush
+        #   (clownresampler.h:1230).
+        # * buffer geometry: the host loop's final refill memmoves the last
+        #   2*radius samples of the logical padded stream to the buffer head
+        #   and parks both cursors at radius*ch (clownresampler.h:1143-1150
+        #   with a zero-frame read at 1153-1158). The logical stream here IS
+        #   `padded` (leading pad = init dead zone, trailing pad = the
+        #   ResampleEnd zero flush), so the final halo is padded[n : n+2r].
+        self.leading_padding_frames_needed = 0
         self.trailing_padding_frames_remaining = 0
+        halo = padded[n : n + 2 * r].reshape(-1)
+        self.input_buffer[: halo.shape[0]] = halo
+        self.input_buffer[halo.shape[0]:] = 0
+        self.input_buffer_start = self.input_buffer_end = r * ch
         return out, replay_callback
 
     def buffer_fill_frames(self) -> int:

@@ -32,9 +32,21 @@ import numpy as np
 
 
 def main() -> None:
+    n_devices = 8
+    # This example needs >= 8 devices, which in this container means the
+    # virtual CPU mesh; it must not query the default backend first, because
+    # the first backend init hangs indefinitely while the TPU tunnel is down
+    # (round-3 verdict). Set CLOWNRESAMPLER_REAL_DEVICES=1 to opt into real
+    # multi-chip hardware instead.
+    if not os.environ.get("CLOWNRESAMPLER_REAL_DEVICES"):
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
 
-    n_devices = 8
+    if not os.environ.get("CLOWNRESAMPLER_REAL_DEVICES"):
+        jax.config.update("jax_platforms", "cpu")
+
     if len(jax.devices()) < n_devices:
         from jax.extend import backend as jax_backend
 
