@@ -488,6 +488,10 @@ def run_config(which: str) -> None:
         # within a step the sub-fleet kernels overlap. 4 (512-lane fleets)
         # measured best; CR_SCAN_SPLIT overrides for probes.
         split = int(os.environ.get("CR_SCAN_SPLIT", "4"))
+        # Double-buffered staging (VERDICT r3 item 5): step t's engine runs
+        # on the buffer staged at t-1 while t+1's buffer stages — the
+        # stage/engine chains are independent inside each iteration.
+        pipeline = os.environ.get("CR_SCAN_PIPELINE", "1") != "0"
         cfg = configure(in_rate, out_rate, in_rate)
         inc = fx.calculate_ratio(in_rate, out_rate)
         radius = cfg.integer_stretched_kernel_radius
@@ -506,7 +510,8 @@ def run_config(which: str) -> None:
             def go(ch, st):
                 outs, produced, st2, backlog = resample_scan_fused(
                     table, ch, st, max_taps=taps, n_out=n_cap, radius=radius,
-                    increment=inc, table_strided=tstr, split=split)
+                    increment=inc, table_strided=tstr, split=split,
+                    pipeline=pipeline)
                 return outs[-1, 0, 0], jnp.sum(produced), backlog
 
             r = go(chunks, state)

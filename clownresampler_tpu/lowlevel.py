@@ -222,7 +222,7 @@ def resample_scan(
 @partial(
     jax.jit,
     static_argnames=("max_taps", "n_out", "radius", "increment", "interpret",
-                     "split"),
+                     "split", "pipeline"),
 )
 def resample_scan_fused(
     table,
@@ -237,6 +237,7 @@ def resample_scan_fused(
     interpret: bool = False,
     table_strided=None,  # KernelModel.strided_table(step, max_taps): fast LUT rows
     split: int = 1,      # independent lane-column sub-fleets per scan step
+    pipeline: bool = False,  # double-buffer the staged input across steps
 ):
     """resample_scan with the fastest kernel for ``increment`` as the engine.
 
@@ -255,6 +256,15 @@ def resample_scan_fused(
     monolithic chain, benchmarks/RESULTS.md) while steps still serialize on
     each sub-fleet's own carry only. Bit-exact for any split: lanes are
     independent streams, the per-fleet math is identical (tests/test_scan.py).
+
+    ``pipeline`` double-buffers the staged engine input through the scan
+    carry: step t's engine consumes the buffer staged at step t-1, while
+    step t itself stages chunk t+1's buffer (halo slice + int16->int32 widen
+    + slack concat, the step's dominant HBM traffic). With the default
+    (False) each step is a serial [stage -> engine] chain; pipelined, the
+    stage and the engine touch DIFFERENT buffers inside one iteration, so
+    the scheduler may overlap the copy with the (VPU-bound) kernels.
+    Bit-exact either way — the engine sees byte-identical buffers.
 
     Returns (outputs (K, n_out, L) int32 zero-masked, produced (K,), state',
     backlog bool); ``backlog`` as in resample_scan.
@@ -344,8 +354,10 @@ def resample_scan_fused(
         cfg=state.cfg,
     )
 
-    def substep(st, halo, chunk):
-        buffer = jnp.concatenate([halo, chunk.astype(jnp.int32), zeros_slack], axis=0)
+    def stage(halo, chunk):
+        return jnp.concatenate([halo, chunk.astype(jnp.int32), zeros_slack], axis=0)
+
+    def run_engine(st, buffer):
         natural = natural_output_count(
             st.position_integer,
             st.position_fractional,
@@ -371,30 +383,72 @@ def resample_scan_fused(
             position_fractional=f_after,
             cfg=st.cfg,
         )
-        new_halo = jax.lax.slice_in_dim(buffer, n_in, n_in + 2 * radius, axis=0)
-        return st2, new_halo, out, produced, natural > jnp.int32(n_out)
+        return st2, out, produced, natural > jnp.int32(n_out)
 
-    def step(carry, chunks_t):
-        sts, halos = carry
-        results = [
-            substep(st, halo, chunk)
-            for st, halo, chunk in zip(sts, halos, chunks_t)
-        ]
-        sts2 = tuple(r[0] for r in results)
-        halos2 = tuple(r[1] for r in results)
-        outs = tuple(r[2] for r in results)
-        # Every sub-fleet shares the (scalar) phase sequence; report fleet 0's.
-        return (sts2, halos2), (outs, results[0][3], results[0][4])
+    def substep(st, halo, chunk):
+        buffer = stage(halo, chunk)
+        st2, out, produced, over = run_engine(st, buffer)
+        new_halo = jax.lax.slice_in_dim(buffer, n_in, n_in + 2 * radius, axis=0)
+        return st2, new_halo, out, produced, over
 
     chunk_cols = tuple(
         jax.lax.slice_in_dim(chunks, i * l_sub, (i + 1) * l_sub, axis=2)
         for i in range(split)
     )
-    (states_out, _halos), (outputs_t, produced, over) = jax.lax.scan(
-        step,
-        (tuple(state for _ in range(split)), tuple(halo0 for _ in range(split))),
-        chunk_cols,
-    )
+
+    if pipeline:
+        # Double-buffered: the carry holds each sub-fleet's STAGED buffer;
+        # iteration t runs the engine on it (staged at t-1) and stages
+        # chunk t+1's buffer from its tail halo — two independent dependency
+        # chains inside one iteration, so the widen/concat copy can hide
+        # under the kernels. The last iteration restages chunk K-1 into a
+        # never-consumed buffer (cheaper than predicating the slice).
+        def substep_pipe(st, buf, t):
+            st2, out, produced, over = run_engine(st, buf)
+            new_halo = jax.lax.slice_in_dim(buf, n_in, n_in + 2 * radius, axis=0)
+            return st2, new_halo, out, produced, over
+
+        def step_pipe(carry, t):
+            sts, bufs = carry
+            results = [substep_pipe(st, buf, t) for st, buf in zip(sts, bufs)]
+            t_next = jnp.minimum(t + 1, jnp.int32(k - 1))
+            bufs2 = tuple(
+                stage(r[1], jax.lax.dynamic_index_in_dim(cc, t_next, 0,
+                                                         keepdims=False))
+                for r, cc in zip(results, chunk_cols)
+            )
+            sts2 = tuple(r[0] for r in results)
+            outs = tuple(r[2] for r in results)
+            return (sts2, bufs2), (outs, results[0][3], results[0][4])
+
+        bufs0 = tuple(
+            stage(halo0, jax.lax.index_in_dim(cc, 0, 0, keepdims=False))
+            for cc in chunk_cols
+        )
+        (states_out, _bufs), (outputs_t, produced, over) = jax.lax.scan(
+            step_pipe,
+            (tuple(state for _ in range(split)), bufs0),
+            jnp.arange(k, dtype=jnp.int32),
+        )
+    else:
+        def step(carry, chunks_t):
+            sts, halos = carry
+            results = [
+                substep(st, halo, chunk)
+                for st, halo, chunk in zip(sts, halos, chunks_t)
+            ]
+            sts2 = tuple(r[0] for r in results)
+            halos2 = tuple(r[1] for r in results)
+            outs = tuple(r[2] for r in results)
+            # Every sub-fleet shares the (scalar) phase sequence; report
+            # fleet 0's.
+            return (sts2, halos2), (outs, results[0][3], results[0][4])
+
+        (states_out, _halos), (outputs_t, produced, over) = jax.lax.scan(
+            step,
+            (tuple(state for _ in range(split)), tuple(halo0 for _ in range(split))),
+            chunk_cols,
+        )
     outputs = outputs_t[0] if split == 1 else jnp.concatenate(outputs_t, axis=2)
     state_out = DeviceState(
         position_integer=states_out[0].position_integer - jnp.int32(radius),
