@@ -237,7 +237,7 @@ def resample_scan_fused(
     interpret: bool = False,
     table_strided=None,  # KernelModel.strided_table(step, max_taps): fast LUT rows
     split: int = 1,      # independent lane-column sub-fleets per scan step
-    pipeline: bool = False,  # double-buffer the staged input across steps
+    pipeline: bool = True,   # double-buffer the staged input across steps
 ):
     """resample_scan with the fastest kernel for ``increment`` as the engine.
 
@@ -260,11 +260,13 @@ def resample_scan_fused(
     ``pipeline`` double-buffers the staged engine input through the scan
     carry: step t's engine consumes the buffer staged at step t-1, while
     step t itself stages chunk t+1's buffer (halo slice + int16->int32 widen
-    + slack concat, the step's dominant HBM traffic). With the default
-    (False) each step is a serial [stage -> engine] chain; pipelined, the
-    stage and the engine touch DIFFERENT buffers inside one iteration, so
-    the scheduler may overlap the copy with the (VPU-bound) kernels.
-    Bit-exact either way — the engine sees byte-identical buffers.
+    + slack concat, the step's dominant HBM traffic). Unpipelined each step
+    is a serial [stage -> engine] chain; pipelined, the stage and the
+    engine touch DIFFERENT buffers inside one iteration, so the scheduler
+    overlaps the copy with the (VPU-bound) kernels. Measured on hardware
+    (round 4, config 7: 44.1k->8k x 1024 stereo lanes, split=4): 16,454 ->
+    22,298 Msamples/s (1.36x), hence the True default. Bit-exact either
+    way — the engine sees byte-identical buffers.
 
     Returns (outputs (K, n_out, L) int32 zero-masked, produced (K,), state',
     backlog bool); ``backlog`` as in resample_scan.

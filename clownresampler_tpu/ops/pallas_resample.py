@@ -1136,27 +1136,39 @@ def _kernel_wide_taps_pipelined(
 
 
 # Gate for the double-buffered group-DMA variant (see
-# _kernel_wide_taps_pipelined): overlap costs a second (span, 128) scratch
-# buffer, so it must fit the v5e 16M scoped-vmem budget next to the MAC
-# stack (~8 unrolled frames x (mac_block, 128) int32 temporaries, measured
-# 21-22M at mac_block 6032 => ~512 B/row) and the kv/out blocks. OFF by
-# default until the overlap is measured on hardware
-# (tools/probe_midwide.py dmasplit + the pipelined timing).
-WIDE_PIPELINE_ENABLED = False
-WIDE_PIPELINE_VMEM_BUDGET = 14 * (1 << 20)
+# _kernel_wide_taps_pipelined). Measured on hardware (round 4,
+# tools/probe_midwide.py pipeline, 64 frames x 1024 lanes):
+#   taps 6016 (blocked path, span 13072): 0.988 vs 1.610 ms  -> 1.63x WIN
+#   taps 2008 (whole-window MAC):         0.314 vs 0.311 ms  -> 0.99x loss
+#   taps 1016 (whole-window MAC):         0.175 vs 0.172 ms  -> 0.99x loss
+# The whole-window path leaves no DMA exposed worth hiding (its dmasplit
+# share measured -2..11%), so auto only ever pipelines the BLOCKED path
+# (mac_block < w), where the serial per-group [DMA -> n_k MAC steps] chain
+# leaves the copy fully exposed.
+WIDE_PIPELINE_ENABLED = True
+
+# Scoped-vmem stack estimate: 2 x (span, 128) int32 scratch (exact) + ~5
+# live (mac_block, 128) MAC temporaries (the single-buffer 21-22M
+# measurement at mac_block 6032 prices the MAC stack at ~5 blocks).
+# Hardware calibration: the blocked form at the domain's widest point
+# (span 13072, mac_block 512 -> est 14.7M) COMPILES on v5e (16M limit);
+# the budget keeps ~0.9M of margin under that limit.
+WIDE_PIPELINE_VMEM_BUDGET = 15_500 * 1024
 
 
 def wide_pipeline_fits(w: int, mac_block: int, span: int) -> bool:
     """Scoped-vmem budget test for the double-buffered variant: the doubled
     scratch + MAC stack estimate must fit next to the kv/out blocks."""
-    est = (WIDE_FRAME_GROUP * mac_block + 2 * span + 2 * mac_block) * 512
+    est = (2 * span + 5 * mac_block) * 512
     return est <= WIDE_PIPELINE_VMEM_BUDGET
 
 
 def wide_pipeline_auto(w: int, mac_block: int, span: int) -> bool:
-    """Default pipeline choice for resample_wide_taps: on only when enabled
+    """Default pipeline choice for resample_wide_taps: blocked path only
+    (the measured win — whole-window widths lose 1%, see the gate comment)
     AND the doubled scratch + MAC stack estimate fits the scoped budget."""
-    return WIDE_PIPELINE_ENABLED and wide_pipeline_fits(w, mac_block, span)
+    return (WIDE_PIPELINE_ENABLED and mac_block < w
+            and wide_pipeline_fits(w, mac_block, span))
 
 
 @partial(

@@ -264,7 +264,7 @@ def test_scan_fused_pipeline_bit_exact(in_rate, out_rate, split):
 
     serial = resample_scan_fused(
         table, chunks, state, max_taps=max_taps, n_out=int(n_out_cap), radius=r,
-        increment=inc, interpret=True, split=split)
+        increment=inc, interpret=True, split=split, pipeline=False)
     piped = resample_scan_fused(
         table, chunks, state, max_taps=max_taps, n_out=int(n_out_cap), radius=r,
         increment=inc, interpret=True, split=split, pipeline=True)

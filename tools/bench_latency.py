@@ -15,6 +15,7 @@ per-grid-step latency floor. The TPU's win is batch throughput; this tool
 quantifies exactly what a latency-bound deployment gets.
 
 Run on the TPU: python tools/bench_latency.py
+Fine grain/group sweep (round-4 micro-launch tune): python tools/bench_latency.py sweep
 """
 
 import json
@@ -80,8 +81,17 @@ def main() -> None:
         return (best(c2) - best(c1)) / (k2 - k1)
 
     results = []
-    # group=8 -> n_out/64 grid steps; the 64-frame launch is a SINGLE step.
-    for n_out, group in [(64, 8), (128, 8), (256, 32), (1024, 32), (8192, 32)]:
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        # Round-4 micro-launch tune (VERDICT item 8): the per-launch floor at
+        # small chunks is per-grid-step latency x steps, traded against
+        # per-step MAC volume (8*group frames/step). Sweep every legal
+        # (n_out, group) at realtime chunk sizes to find the floor's shape.
+        cases = [(n, g) for n in (64, 128, 256, 512)
+                 for g in (1, 2, 4, 8, 16, 32, 64) if n % (8 * g) == 0]
+    else:
+        # group=8 -> n_out/64 grid steps; the 64-frame launch is a SINGLE step.
+        cases = [(64, 8), (128, 8), (256, 32), (1024, 32), (8192, 32)]
+    for n_out, group in cases:
         s = ((n_out * inc) >> 16) + 96
         s = -(-s // 16) * 16
         x0 = jnp.asarray(

@@ -229,16 +229,17 @@ def main() -> int:
         # same predicate the production auto gate applies.
         from clownresampler_tpu.ops.pallas_resample import (
             WIDE_MAC_BLOCK,
+            wide_pipeline_auto,
             wide_pipeline_fits,
         )
 
         mac_block = w if w <= WIDE_WHOLE_MAC_MAX_W else WIDE_MAC_BLOCK
         d_ = inc >> 16
         span = min(-(-(7 * d_ + w + 16) // 8) * 8, (s // 8) * 8)
-        if not wide_pipeline_fits(w, mac_block, span):
+        if not wide_pipeline_auto(w, mac_block, span):
             print(f"SKIP compiled wide kernel {mode}-MAC PIPELINED "
-                  f"(44100->{out_rate}, w={w}): over the scoped-vmem budget"
-                  " (auto gate would never pick it here)")
+                  f"(44100->{out_rate}, w={w}): the production auto gate "
+                  "never picks the pipelined form here (blocked path only)")
         else:
             try:
                 got_p, _ = resample_wide_taps(
@@ -280,7 +281,11 @@ def main() -> int:
               f"(44100->{out_rate}, taps={max_taps})")
         w = max_taps + 8
         span = min(-(-(7 * (inc >> 16) + w + 16) // 8) * 8, (s // 8) * 8)
-        if wide_pipeline_fits(w, w, span):   # medium widths: whole-window MAC
+        # Medium widths run the whole-window MAC, where the auto gate never
+        # pipelines (measured 0.99x) — but keep the explicit-knob compile
+        # check: a user can still pass pipeline=True, and these shapes
+        # compiled + matched on hardware (round-4 campaign).
+        if wide_pipeline_fits(w, w, span):
             got_p, _ = resample_wide_taps(
                 table, x, state, max_taps=max_taps, n_out=n_out,
                 d=inc >> 16, table_strided=tstr, pipeline=True)
