@@ -153,6 +153,60 @@ def timing(lanes=2048):
               flush=True)
 
 
+def envelope():
+    """Compile envelope of the general kernel at PRODUCTION dispatch shapes.
+
+    The round-4 campaign found the roll-path general kernel blows the 16M
+    Mosaic scoped-vmem stack at (taps 1016, s 12288, 8 lane tiles): 18.53M
+    requested. The dispatchers' row budgets (lowlevel rows_budget=16384,
+    farm VMEM_SAFE_INPUT_ROWS=12288) were calibrated on the TILED kernel
+    (taps 8, tiny temporaries) — this maps where the GENERAL kernel's
+    envelope actually is, per (w_load class, lane tiles, group), by AOT
+    compiling each shape on the chip (no execution, so no relay poisoning).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from clownresampler_tpu.models import DEFAULT_MODEL
+    from clownresampler_tpu.ops.pallas_resample import (
+        general_w_load,
+        resample_uniform_lanes_general,
+        strided_table_device,
+    )
+
+    # (ratio giving the taps, expected w_load class)
+    cases = [(44100, 1067), (44100, 991), (44100, 262)]  # taps 248/272/1016
+    n_out = 256
+    for in_rate, out_rate in cases:
+        table, cfg, inc, state, taps = _setup(in_rate, out_rate, p0=0)
+        w_load, shift = general_w_load(taps)
+        tstr = strided_table_device(
+            DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+            cfg.kernel_step_size, taps,
+        )
+        for lanes in (128, 512):
+            for group in (16, 32):
+                for s in (16384, 12288, 8192, 4096):
+                    x = jnp.zeros((s, lanes), jnp.int32)
+                    try:
+                        resample_uniform_lanes_general.lower(
+                            table, x, state, max_taps=taps, n_out=n_out,
+                            group=group, table_strided=tstr,
+                        ).compile()
+                        verdict = "PASS"
+                    except Exception as e:
+                        msg = str(e)
+                        i = msg.find("Scoped allocation with size")
+                        verdict = ("FAIL " + msg[i : i + 60].split(".  ")[0]
+                                   if i >= 0 else
+                                   f"FAIL {type(e).__name__}: {msg[:80]}")
+                    print(f"taps={taps} w_load={w_load} shift={shift} "
+                          f"lanes={lanes} group={group} s={s}: {verdict}",
+                          flush=True)
+                    if verdict == "PASS":
+                        break   # smaller s only gets cheaper
+
+
 def dma_split(lanes=1024):
     """Estimate the wide kernel's DMA share: time the real launch vs one
     called with d=0, which shrinks the per-group union-window DMA span from
@@ -263,6 +317,8 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "exact"
     if mode == "exact":
         exact()
+    elif mode == "envelope":
+        envelope()
     elif mode == "dmasplit":
         dma_split(int(sys.argv[2]) if len(sys.argv) > 2 else 1024)
     elif mode == "pipeline":
