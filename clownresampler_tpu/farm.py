@@ -32,6 +32,7 @@ from clownresampler_tpu.lowlevel import FAST_KERNEL_MAX_TAPS, make_device_state
 from clownresampler_tpu.models import DEFAULT_MODEL, KernelModel
 from clownresampler_tpu.ops.pallas_resample import (
     LANES,
+    general_pick_group,
     multi_resample,
     plan_uniform,
     strided_phase_padding,
@@ -303,7 +304,9 @@ class UniformStreamFarm:
             kind, d, cand = plan["kernel"], plan.get("d"), plan.get("cand")
         else:
             kind = None   # past the fast-kernel guard: wide unconditionally
-        if kind is None or wide_serves(kind, self._max_taps):
+        if kind is None or wide_serves(
+            kind, self._max_taps, lanes=max(w for w, _ in self._lane_slices)
+        ):
             # DMA-based wide kernel (see ops.resample_wide_taps) — past the
             # fast-kernel guard unconditionally, and for general-class
             # launches past the measured medium-width crossover
@@ -320,8 +323,20 @@ class UniformStreamFarm:
             kind, d, cand = "wide", self.increment >> 16, None
             step = WIDE_MAX_LAUNCH_FRAMES
         else:
-            if (kind in ("tiled", "general")
-                    and self._capacity > VMEM_SAFE_INPUT_ROWS):
+            if kind == "general":
+                # The general kernel's compile envelope is TIGHTER than the
+                # tiled row budget (general_launch_fits, measured round 4):
+                # multi-lane-tile launches double-buffer the (S, 128) input
+                # block and medium tap widths shrink the ceiling to 8192
+                # rows. No legal frame group at this staging shape -> the
+                # gather oracle (multi_resample would downgrade per-launch
+                # anyway; deciding here keeps grain/step consistent).
+                lane_w = max(w for w, _ in self._lane_slices)
+                if general_pick_group(
+                    256, self._capacity, lane_w, self._max_taps
+                ) is None:
+                    kind, d, cand = "oracle", None, None
+            elif kind == "tiled" and self._capacity > VMEM_SAFE_INPUT_ROWS:
                 kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
             step = MAX_LAUNCH_OUTPUT_FRAMES
         # Padding granularity per kernel: tiled needs 8*group=64, the

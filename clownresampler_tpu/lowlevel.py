@@ -273,6 +273,8 @@ def resample_scan_fused(
     """
     from clownresampler_tpu.ops.pallas_resample import (
         choose_strided_plan,
+        general_pick_group,
+        general_w_load,
         plan_uniform,
         resample_integer_stride,
         resample_strided_phases,
@@ -333,17 +335,34 @@ def resample_scan_fused(
             return out
     else:
         assert n_out % 128 == 0, "general engine: n_out must be a multiple of 128"
-        from clownresampler_tpu.ops.pallas_resample import general_w_load
-
         slack = general_w_load(max_taps)[0] + 8   # the engine's window + align
+        # The staged buffer is [halo | chunk | slack] per sub-fleet; pick the
+        # largest frame group inside the measured compile envelope
+        # (general_launch_fits). Shapes outside the envelope at any group
+        # (e.g. >8192-row buffers on multi-lane-tile sub-fleets at medium
+        # tap widths) run the gather-oracle engine instead — slower, but the
+        # scan stays a single fused program and the bytes are identical.
+        radius_ = max_taps // 2 if radius is None else radius
+        s_buf = 2 * radius_ + n_in + slack
+        grp = general_pick_group(n_out, s_buf, l // split, max_taps)
 
-        def engine(buffer, st):
-            out, _ = resample_uniform_lanes_general(
-                table, buffer, st, max_taps=max_taps, n_out=n_out,
-                interpret=interpret, table_strided=table_strided,
-                group=32 if n_out % 256 == 0 else 16,
-            )
-            return out
+        if grp is not None:
+            def engine(buffer, st):
+                out, _ = resample_uniform_lanes_general(
+                    table, buffer, st, max_taps=max_taps, n_out=n_out,
+                    interpret=interpret, table_strided=table_strided,
+                    group=grp,
+                )
+                return out
+        else:
+            def engine(buffer, st):
+                n = jnp.arange(n_out, dtype=jnp.int32)
+                pos, frac = fx.positions_from_state(
+                    st.position_integer, st.position_fractional,
+                    st.cfg.increment_hi, st.cfg.increment_lo, n,
+                )
+                return convolve_frames(table, buffer, pos, frac, st.cfg,
+                                       max_taps)
 
     assert l % split == 0, "chunk lanes must divide evenly into split sub-fleets"
     l_sub = l // split
@@ -695,6 +714,7 @@ class LowLevelResampler:
         from clownresampler_tpu.ops.pallas_resample import (
             WIDE_MAX_LAUNCH_FRAMES,
             choose_strided_plan,
+            general_pick_group,
             plan_uniform,
             resample_integer_stride,
             resample_strided_phases,
@@ -721,7 +741,8 @@ class LowLevelResampler:
         # (WIDE_DISPATCH_MIN_TAPS) route there too.
         use_wide = on_device and (
             self._max_taps > FAST_KERNEL_MAX_TAPS
-            or (plan is not None and wide_serves(plan["kernel"], self._max_taps))
+            or (plan is not None
+                and wide_serves(plan["kernel"], self._max_taps, lanes=128))
         )
         use_fast = plan is not None and not use_wide
         lanes_pad = fx.round_up(self.channels, 128)
@@ -853,10 +874,16 @@ class LowLevelResampler:
                             interpret=self.interpret,
                         )
                 else:
+                    # Single lane tile (lanes_pad == 128): group 16 compiles
+                    # at any bucketed row count; group 32 only inside the
+                    # measured envelope (w_load >= 256 at rows > 8192 blows
+                    # the Mosaic scoped-vmem limit — general_launch_fits).
+                    grp = general_pick_group(
+                        n_pad, rows, lanes_pad, self._max_taps
+                    ) or 16
                     out, _ = resample_uniform_lanes_general(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
-                        table_strided=tstr,
-                        group=32 if n_pad % 256 == 0 else 16,
+                        table_strided=tstr, group=grp,
                         interpret=self.interpret,
                     )
                 chunks.append(np.asarray(out)[:tile, : self.channels])

@@ -342,6 +342,51 @@ def general_w_load(max_taps: int) -> tuple:
     return w, False
 
 
+# Measured Mosaic scoped-vmem compile envelope of the general kernel
+# (tools/probe_midwide.py `envelope`/`envelope2`, AOT-compiled on v5e
+# hardware, round 4 — 28 points across w_load 48..1024, lanes 128..2048,
+# group 16/32, s 4096..16384). Two effects bound the envelope:
+#   - multi-lane-tile launches double-buffer the (s, 128) input block, so
+#     s=16384 fails (~16.2M vs the 16M limit) for EVERY tap class — even
+#     taps 40 — while a single lane tile passes s=16384 at group 16 for
+#     every w_load up to 1024;
+#   - group=32 keeps ~2x the per-frame window temporaries live, so its
+#     ceiling shrinks fast with w_load (w_load>=512 requests 36-101M and
+#     never compiles; w_load=256 fits only single-tile at s<=8192).
+# The dispatchers' historical row budgets (lowlevel rows_budget=16384, farm
+# VMEM_SAFE_INPUT_ROWS=12288) were calibrated on the TILED kernel (taps 8,
+# tiny temporaries) and are NOT safe for the general kernel — every
+# general-class dispatch must consult this predicate.
+def general_launch_fits(s: int, lanes: int, group: int, max_taps: int) -> bool:
+    """True iff resample_uniform_lanes_general compiles at this launch shape
+    (measured envelope above; exact on all 28 probed points, conservative —
+    single-tile-only — for the unprobed w_load 144..248 group-32 interior)."""
+    w_load, _ = general_w_load(max_taps)
+    multi = lanes > LANES
+    if group <= 16:
+        if not multi:
+            return s <= 16384
+        return s <= (12288 if w_load <= 136 else 8192)
+    if w_load <= 48:
+        return s <= 12288
+    if w_load <= 136:
+        return s <= 8192
+    if w_load <= 256:
+        return not multi and s <= 8192
+    return False
+
+
+def general_pick_group(n_out: int, s: int, lanes: int, max_taps: int):
+    """Largest legal frame group for a general-kernel launch at this shape
+    (32 is ~12% faster per step when it fits), or None when no group
+    compiles — the caller must route to the wide DMA kernel / the gather
+    oracle instead."""
+    for g in (32, 16):
+        if n_out % (8 * g) == 0 and general_launch_fits(s, lanes, g, max_taps):
+            return g
+    return None
+
+
 # Dispatch crossover for GENERAL-class launches in the medium-width band
 # (GENERAL_SHIFT_MAX_WLOAD - 8 < taps <= lowlevel.FAST_KERNEL_MAX_TAPS).
 # There the general kernel pays a per-frame power-of-two aligned load + roll
@@ -349,14 +394,25 @@ def general_w_load(max_taps: int) -> tuple:
 # GENERAL_SHIFT_MAX_WLOAD) AND its VMEM-resident input block caps real frames
 # below the launch grain — padding frames MAC clamped junk. The DMA wide
 # kernel (resample_wide_taps) has neither cost: roll-free phase-shifted
-# kernel columns, whole-window MAC, input in HBM. Launches with taps above
-# this bound route to the wide kernel; tools/probe_midwide.py measures the
-# crossover on hardware. Set to the FAST_KERNEL_MAX_TAPS cap = no change
-# until the measurement lands.
-WIDE_DISPATCH_MIN_TAPS = 1024
+# kernel columns, whole-window MAC, input in HBM.
+#
+# Measured crossover (tools/probe_midwide.py time, v5e, round 4 — wide
+# throughput as a multiple of the general kernel's dispatch-real rate):
+#   lanes=2048: 2.55x / 2.34x / 7.11x / 7.34x / 8.82x at taps
+#               272 / 392 / 512 / 760 / 1016 -> wide wins the WHOLE roll
+#               band on multi-lane-tile launches;
+#   lanes=128:  0.69x / 0.95x / 1.48x / 6.89x at taps 272/392/512/760
+#               (1016 is launch-overhead-bound either way) -> the general
+#               roll kernel keeps taps <= 392, wide takes the rest.
+# The shift band (taps <= GENERAL_SHIFT_MAX_WLOAD - 8) stays on the
+# roll-free general kernel at every lane count (1144-1169x the C anchor,
+# benchmarks/RESULTS.md round-3; the wide kernel's best in-band rate is
+# well below it).
+WIDE_DISPATCH_MIN_TAPS = 448          # single lane tile (between 392 and 512)
+WIDE_DISPATCH_MIN_TAPS_MULTI = 248    # multi lane tile: the whole roll band
 
 
-def wide_serves(plan_kernel: str, max_taps: int) -> bool:
+def wide_serves(plan_kernel: str, max_taps: int, lanes: int = None) -> bool:
     """True when a launch of this plan class and RESERVED tap width should
     run the DMA wide kernel instead of its VMEM-resident class kernel.
 
@@ -364,8 +420,14 @@ def wide_serves(plan_kernel: str, max_taps: int) -> bool:
     medium widths at sane models (taps = 2*radius at d <= 1) and the
     polyphase strided kernels are faster than the wide kernel where they
     apply. Callers past FAST_KERNEL_MAX_TAPS route wide unconditionally —
-    this predicate covers the band below it."""
-    return plan_kernel == "general" and max_taps > WIDE_DISPATCH_MIN_TAPS
+    this predicate covers the band below it. ``lanes`` is the launch's lane
+    count (the crossover is lane-dependent, see the table above); None
+    assumes multi-lane-tile, the throughput-relevant case."""
+    if plan_kernel != "general":
+        return False
+    bound = (WIDE_DISPATCH_MIN_TAPS if lanes is not None and lanes <= LANES
+             else WIDE_DISPATCH_MIN_TAPS_MULTI)
+    return max_taps > bound
 
 
 def _kernel_general(
@@ -1363,6 +1425,19 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
     for x, st, p, tstr in zip(xs, states, plans, tstrs):
         kind, d, cand, max_taps, n_out, clamp = p[:6]
         lanes, lane_offset = (p[6], p[7]) if len(p) > 6 else (None, 0)
+        if kind == "general":
+            # The caller may pin the group (p[8]); otherwise pick the largest
+            # group inside the measured compile envelope. A launch shape
+            # outside the envelope at ANY group downgrades to the gather
+            # oracle (callers are expected to route such shapes to the wide
+            # DMA kernel before reaching here — this is the safety net).
+            eff_lanes = lanes if lanes is not None else x.shape[1]
+            general_grp = (
+                p[8] if len(p) > 8 and p[8] is not None
+                else general_pick_group(n_out, x.shape[0], eff_lanes, max_taps)
+            )
+            if general_grp is None:
+                kind = "oracle"
         if kind == "tiled":
             out, _ = resample_uniform_lanes_tiled(
                 table, x, st, max_taps=max_taps, n_out=n_out, d=d, cand=cand,
@@ -1392,10 +1467,10 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
                 )
         elif kind == "general":
             out, _ = resample_uniform_lanes_general(
-                table, x, st, max_taps=max_taps, n_out=n_out, clamp_s16=clamp,
-                interpret=interpret, lanes=lanes, lane_offset=lane_offset,
-                table_strided=tstr,
-                group=32 if n_out % 256 == 0 else 16,  # ~12% faster steps
+                table, x, st, max_taps=max_taps, n_out=n_out,
+                clamp_s16=clamp, interpret=interpret, lanes=lanes,
+                lane_offset=lane_offset, table_strided=tstr,
+                group=general_grp,
             )
         elif kind == "wide":  # taps > FAST_KERNEL_MAX_TAPS: DMA kernel
             out, _ = resample_wide_taps(

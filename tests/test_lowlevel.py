@@ -119,6 +119,24 @@ def test_batched_tile_dispatch_wide_kernel():
     np.testing.assert_array_equal(got, want)
 
 
+def test_wide_serves_lane_aware_crossover():
+    """The medium-width dispatch boundary is LANE-DEPENDENT (measured,
+    tools/probe_midwide.py round 4): multi-lane-tile launches route the
+    whole roll band (taps > 248) to the DMA wide kernel; single-tile
+    launches keep the general roll kernel through taps 392. The shift band
+    and non-general classes never cross."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    assert not pr.wide_serves("general", 248, lanes=2048)   # shift band
+    assert pr.wide_serves("general", 272, lanes=2048)       # roll band, multi
+    assert not pr.wide_serves("general", 272, lanes=128)    # single tile
+    assert not pr.wide_serves("general", 392, lanes=128)
+    assert pr.wide_serves("general", 512, lanes=128)
+    assert pr.wide_serves("general", 272)                   # default: multi
+    assert not pr.wide_serves("tiled", 2000, lanes=2048)
+    assert not pr.wide_serves("strided", 2000, lanes=2048)
+
+
 @pytest.mark.parametrize("in_rate,out_rate,threshold", [
     (44100, 349, 504),   # taps 760 through a mid-band crossover
     (44100, 991, 248),   # taps 272 — the bottom of the roll-path band

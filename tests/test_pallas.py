@@ -605,3 +605,85 @@ def test_strided_table_cache_evicts_dead_clients():
     # an uncached config on the LIVE client triggers the rebuild path
     pr.strided_table_device(3, 0x400, 123, 8)
     assert dead_key not in pr._strided_table_cache
+
+
+def test_general_launch_envelope_matches_measured_points():
+    """general_launch_fits() must reproduce EVERY hardware-probed compile
+    outcome of the general kernel (tools/probe_midwide.py envelope/envelope2,
+    AOT-compiled on v5e, round 4 — 42 points). The dispatchers consult this
+    predicate before every general-class launch; a drifted rule either
+    ships a Mosaic scoped-vmem compile failure or leaves speed on the
+    table."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    # (taps, lanes, group, s, compiled?) — verbatim from the probe logs.
+    points = [
+        # envelope sweep (lanes 128/512, taps 248/272/1016)
+        (248, 128, 16, 16384, True),
+        (248, 128, 32, 16384, False),
+        (248, 128, 32, 12288, False),
+        (248, 128, 32, 8192, True),
+        (248, 512, 16, 16384, False),
+        (248, 512, 16, 12288, False),
+        (248, 512, 16, 8192, True),
+        (248, 512, 32, 16384, False),
+        (248, 512, 32, 12288, False),
+        (248, 512, 32, 8192, False),
+        (248, 512, 32, 4096, False),
+        (272, 128, 16, 16384, True),
+        (272, 128, 32, 16384, False),
+        (272, 128, 32, 12288, False),
+        (272, 128, 32, 8192, False),
+        (272, 128, 32, 4096, False),
+        (272, 512, 16, 16384, False),
+        (272, 512, 16, 12288, False),
+        (272, 512, 16, 8192, True),
+        (272, 512, 32, 16384, False),
+        (272, 512, 32, 12288, False),
+        (272, 512, 32, 8192, False),
+        (272, 512, 32, 4096, False),
+        (1016, 128, 16, 16384, True),
+        (1016, 128, 32, 16384, False),
+        (1016, 128, 32, 12288, False),
+        (1016, 128, 32, 8192, False),
+        (1016, 128, 32, 4096, False),
+        (1016, 512, 16, 16384, False),
+        (1016, 512, 16, 12288, False),
+        (1016, 512, 16, 8192, True),
+        (1016, 512, 32, 16384, False),
+        (1016, 512, 32, 12288, False),
+        (1016, 512, 32, 8192, False),
+        (1016, 512, 32, 4096, False),
+        # envelope2 sweep (small w_load classes + lanes-2048 points)
+        (40, 2048, 32, 12288, True),
+        (40, 2048, 32, 16384, False),
+        (40, 2048, 16, 16384, False),
+        (40, 512, 32, 16384, False),
+        (128, 512, 16, 16384, False),
+        (128, 512, 16, 12288, True),
+        (128, 512, 32, 12288, False),
+        (128, 512, 32, 8192, True),
+        (128, 2048, 16, 12288, True),
+        (128, 2048, 32, 12288, False),
+        (248, 2048, 16, 8192, True),
+        (248, 2048, 16, 12288, False),
+        (272, 2048, 16, 8192, True),
+        (1016, 2048, 16, 8192, True),
+    ]
+    for taps, lanes, group, s, compiled in points:
+        assert pr.general_launch_fits(s, lanes, group, taps) == compiled, (
+            taps, lanes, group, s, compiled)
+
+
+def test_general_pick_group_grain_and_fallback():
+    """general_pick_group honours the n_out grain (group g needs
+    n_out % 8g == 0), prefers 32 inside the envelope, and returns None where
+    no group compiles (the callers' oracle/wide reroute signal)."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    assert pr.general_pick_group(256, 8192, 128, 40) == 32
+    assert pr.general_pick_group(128, 8192, 128, 40) == 16   # 256-grain fails
+    assert pr.general_pick_group(256, 16384, 128, 248) == 16  # 32 blows vmem
+    assert pr.general_pick_group(256, 12288, 512, 248) is None
+    assert pr.general_pick_group(256, 8192, 512, 1016) == 16
+    assert pr.general_pick_group(256, 12288, 512, 1016) is None

@@ -112,9 +112,12 @@ def timing(lanes=2048):
         # --- general kernel at the dispatcher's launch shape: n_out=128,
         # input block capped at the VMEM budget; frames whose windows
         # exceed it clamp (junk results, identical MAC cost) — exactly the
-        # padding waste the real dispatch pays.
+        # padding waste the real dispatch pays. The roll classes only
+        # COMPILE single-lane-tile at full budget (envelope round 4), so
+        # the crossover is measured at lanes<=128 with s=16384 (the
+        # lowlevel bucket) and wider runs use the multi-tile ceiling.
         n_gen = 128
-        s = 12288
+        s = 16384 if lanes <= 128 else 8192
         real = min(n_gen, ((s - taps - w_load) << 16) // inc)
         x = jnp.asarray(
             rng.integers(-32768, 32768, size=(s, lanes)).astype(np.int32))
@@ -205,6 +208,65 @@ def envelope():
                           flush=True)
                     if verdict == "PASS":
                         break   # smaller s only gets cheaper
+
+
+def envelope2():
+    """Targeted second round of `envelope`: the small-w_load classes the
+    first sweep skipped (production config 6 measurably runs taps 40 at
+    lanes 2048 / s 12288 / group 32, so the envelope's medium-width FAILs
+    must start somewhere between w_load 48 and 256), plus lanes-2048 and
+    farm-shaped (s 12288) points for the medium classes. Feeds the
+    general_launch_fits() production guard."""
+    import jax.numpy as jnp
+
+    from clownresampler_tpu.models import DEFAULT_MODEL
+    from clownresampler_tpu.ops.pallas_resample import (
+        general_w_load,
+        resample_uniform_lanes_general,
+        strided_table_device,
+    )
+
+    # (out_rate, [(lanes, group, s), ...]) at 44100 in; taps per _setup.
+    cases = [
+        # taps 40, w_load 48 (config 6's class): confirm the measured-working
+        # production shapes compile, and find its s ceiling.
+        (8000, [(2048, 32, 12288), (2048, 32, 16384), (2048, 16, 16384),
+                (512, 32, 16384)]),
+        # taps ~128, w_load ~136: the unknown middle of the shift band.
+        (2200, [(512, 16, 16384), (512, 16, 12288), (512, 32, 12288),
+                (512, 32, 8192), (2048, 16, 12288), (2048, 32, 12288)]),
+        # taps 248, w_load 256 (top of the shift band): lanes-2048 points.
+        (1067, [(2048, 16, 8192), (2048, 16, 12288)]),
+        # taps 272 / 1016 (roll classes) at lanes 2048, the s=8192 level the
+        # lanes-512 sweep passed.
+        (991, [(2048, 16, 8192)]),
+        (262, [(2048, 16, 8192)]),
+    ]
+    n_out = 256
+    for out_rate, combos in cases:
+        table, cfg, inc, state, taps = _setup(44100, out_rate, p0=0)
+        w_load, shift = general_w_load(taps)
+        tstr = strided_table_device(
+            DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+            cfg.kernel_step_size, taps,
+        )
+        for lanes, group, s in combos:
+            x = jnp.zeros((s, lanes), jnp.int32)
+            try:
+                resample_uniform_lanes_general.lower(
+                    table, x, state, max_taps=taps, n_out=n_out,
+                    group=group, table_strided=tstr,
+                ).compile()
+                verdict = "PASS"
+            except Exception as e:
+                msg = str(e)
+                i = msg.find("Scoped allocation with size")
+                verdict = ("FAIL " + msg[i : i + 60].split(".  ")[0]
+                           if i >= 0 else
+                           f"FAIL {type(e).__name__}: {msg[:80]}")
+            print(f"taps={taps} w_load={w_load} shift={shift} "
+                  f"lanes={lanes} group={group} s={s}: {verdict}",
+                  flush=True)
 
 
 def dma_split(lanes=1024):
@@ -319,6 +381,8 @@ if __name__ == "__main__":
         exact()
     elif mode == "envelope":
         envelope()
+    elif mode == "envelope2":
+        envelope2()
     elif mode == "dmasplit":
         dma_split(int(sys.argv[2]) if len(sys.argv) > 2 else 1024)
     elif mode == "pipeline":
