@@ -849,10 +849,23 @@ class LowLevelResampler:
                 state = make_device_state(0, f0, self.config, self.increment)
                 x = jnp.asarray(window)
                 if plan["kernel"] == "tiled":
+                    # group 32 for big launches (throughput, ~27% per round
+                    # 2); group 4 for <=128-frame launches — the round-4
+                    # latency sweep (tools/bench_latency.py sweep) measured
+                    # 1.2/2.3 us per 64/128-frame launch at group 4 vs
+                    # 10.2/6.0 us at the old default 8, which makes the TPU
+                    # beat one C core on per-chunk latency from 64-frame
+                    # chunks up (benchmarks/RESULTS.md round-4 latency).
+                    if n_pad % 256 == 0:
+                        grp = 32
+                    elif n_pad <= 128:
+                        grp = 4
+                    else:
+                        grp = 8
                     out, _ = resample_uniform_lanes_tiled(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
                         d=plan["d"], cand=plan["cand"], table_strided=tstr,
-                        group=32 if n_pad % 256 == 0 else 8,
+                        group=grp,
                         interpret=self.interpret,
                     )
                 elif plan["kernel"] == "strided":
