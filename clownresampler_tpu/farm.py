@@ -304,15 +304,40 @@ class UniformStreamFarm:
             kind, d, cand = plan["kernel"], plan.get("d"), plan.get("cand")
         else:
             kind = None   # past the fast-kernel guard: wide unconditionally
-        if kind is None or wide_serves(
+        # The crossover consults the farm's WIDEST lane slice: the kind is
+        # per-farm (every slice shares the fused multi_resample program), so
+        # a mixed-width farm whose widest slice crosses over sends its
+        # 128-wide slices wide too, where taps 272-392 measured 0.69-0.95x
+        # the general roll kernel — a deliberate tradeoff (the multi-lane
+        # majority's 2.3-8.8x win dominates; per-slice kinds would split the
+        # fused program per chunk).
+        route_wide = kind is None or wide_serves(
             kind, self._max_taps, lanes=max(w for w, _ in self._lane_slices)
-        ):
+        )
+        if not route_wide and kind == "general":
+            # The general kernel's compile envelope is TIGHTER than the
+            # tiled row budget (general_launch_fits, measured round 4):
+            # multi-lane-tile launches double-buffer the (S, 128) input
+            # block and medium tap widths shrink the ceiling to 8192 rows.
+            # No legal frame group at this staging shape -> the DMA wide
+            # kernel, NOT the gather oracle: in the shapes that fail here
+            # (shift-band taps at >8192-row capacities, multi-lane) the wide
+            # kernel measured ~6x the oracle (benchmarks/RESULTS.md round-5
+            # envelope-failure note), and its buffer-safety argument is the
+            # same slack inequality as the crossover band below.
+            lane_w = max(w for w, _ in self._lane_slices)
+            if general_pick_group(
+                256, self._capacity, lane_w, self._max_taps
+            ) is None:
+                route_wide = True
+        if route_wide:
             # DMA-based wide kernel (see ops.resample_wide_taps) — past the
-            # fast-kernel guard unconditionally, and for general-class
-            # launches past the measured medium-width crossover
-            # (WIDE_DISPATCH_MIN_TAPS). The staging buffer stays in HBM, so
-            # no VMEM row budget applies; launches are capped at the wide
-            # kernel's frame bound. In the crossover band the reserved-width
+            # fast-kernel guard unconditionally, for general-class launches
+            # past the measured medium-width crossover
+            # (WIDE_DISPATCH_MIN_TAPS / _MULTI), and for general-class
+            # staging shapes outside the compile envelope. The staging
+            # buffer stays in HBM, so no VMEM row budget applies; launches
+            # are capped at the wide kernel's frame bound. The reserved-width
             # read (max_taps + 8 per window) is covered by the tiled/general
             # slack, which is >= radius_bound + 16
             # (window_rows_needed(max_taps) >= 2*radius_bound alone).
@@ -323,20 +348,7 @@ class UniformStreamFarm:
             kind, d, cand = "wide", self.increment >> 16, None
             step = WIDE_MAX_LAUNCH_FRAMES
         else:
-            if kind == "general":
-                # The general kernel's compile envelope is TIGHTER than the
-                # tiled row budget (general_launch_fits, measured round 4):
-                # multi-lane-tile launches double-buffer the (S, 128) input
-                # block and medium tap widths shrink the ceiling to 8192
-                # rows. No legal frame group at this staging shape -> the
-                # gather oracle (multi_resample would downgrade per-launch
-                # anyway; deciding here keeps grain/step consistent).
-                lane_w = max(w for w, _ in self._lane_slices)
-                if general_pick_group(
-                    256, self._capacity, lane_w, self._max_taps
-                ) is None:
-                    kind, d, cand = "oracle", None, None
-            elif kind == "tiled" and self._capacity > VMEM_SAFE_INPUT_ROWS:
+            if kind == "tiled" and self._capacity > VMEM_SAFE_INPUT_ROWS:
                 kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
             step = MAX_LAUNCH_OUTPUT_FRAMES
         # Padding granularity per kernel: tiled needs 8*group=64, the

@@ -714,6 +714,7 @@ class LowLevelResampler:
         from clownresampler_tpu.ops.pallas_resample import (
             WIDE_MAX_LAUNCH_FRAMES,
             choose_strided_plan,
+            general_launch_fits,
             general_pick_group,
             plan_uniform,
             resample_integer_stride,
@@ -738,14 +739,33 @@ class LowLevelResampler:
         # Kernels past the VMEM-resident width guard run the DMA-based wide
         # kernel (input stays in HBM) instead of the gather oracle; general-
         # class launches past the measured medium-width crossover
-        # (WIDE_DISPATCH_MIN_TAPS) route there too.
+        # (WIDE_DISPATCH_MIN_TAPS / _MULTI — the crossover is lane-dependent,
+        # so pass this stream's real lane count) route there too.
+        lanes_pad = fx.round_up(self.channels, 128)
         use_wide = on_device and (
             self._max_taps > FAST_KERNEL_MAX_TAPS
             or (plan is not None
-                and wide_serves(plan["kernel"], self._max_taps, lanes=128))
+                and wide_serves(plan["kernel"], self._max_taps,
+                                lanes=lanes_pad))
         )
         use_fast = plan is not None and not use_wide
-        lanes_pad = fx.round_up(self.channels, 128)
+        # The general kernel's measured compile envelope is TIGHTER than the
+        # tiled row budget for multi-lane-tile launches (general_launch_fits:
+        # the (S, 128) input block is double-buffered per lane tile, so
+        # S=16384 never compiles at lanes > 128). Cap the row budget at the
+        # largest measured ceiling that fits this stream's lane count so a
+        # legal frame group always exists — `general_pick_group(...) or 16`
+        # here used to ship a Mosaic scoped-vmem compile failure for
+        # channels > 128 (ADVICE r4); no legal ceiling at all means the
+        # gather oracle serves the stream.
+        general_rows_budget = 16384
+        if use_fast and plan["kernel"] == "general":
+            for cap in (16384, 12288, 8192, 4096):
+                if general_launch_fits(cap, lanes_pad, 16, self._max_taps):
+                    general_rows_budget = cap
+                    break
+            else:
+                use_fast = False
         if use_fast:
             # Fast kernels keep their input block VMEM-resident, so each tile
             # gets a bounded row window (rebased positions) instead of the
@@ -756,7 +776,8 @@ class LowLevelResampler:
                 # Polyphase strided kernels over-read d*(w_load+8) rows past
                 # the last frame's window (strided_phase_padding contract).
                 slack = max(slack, strided_phase_padding(self._max_taps, d, 32) + 8)
-            rows_budget = 16384
+            rows_budget = (general_rows_budget if plan["kernel"] == "general"
+                           else 16384)
             rows_per_tile = rows_budget - 2 * (self._max_taps // 2) - slack
             max_tile_frames = max(64, (rows_per_tile << 16) // self.increment - 8)
             tstr = strided_table_device(
@@ -887,13 +908,23 @@ class LowLevelResampler:
                             interpret=self.interpret,
                         )
                 else:
-                    # Single lane tile (lanes_pad == 128): group 16 compiles
-                    # at any bucketed row count; group 32 only inside the
-                    # measured envelope (w_load >= 256 at rows > 8192 blows
-                    # the Mosaic scoped-vmem limit — general_launch_fits).
+                    # rows was bucketed under general_rows_budget above, so a
+                    # legal group always exists at this shape (group 16
+                    # compiles at every bucketed row count inside the
+                    # envelope; group 32 only where general_launch_fits says
+                    # so). Defensive None -> gather oracle, never a forced
+                    # group (which shipped a Mosaic compile failure, ADVICE
+                    # r4).
                     grp = general_pick_group(
                         n_pad, rows, lanes_pad, self._max_taps
-                    ) or 16
+                    )
+                    if grp is None:
+                        chunks.append(
+                            self._oracle_tile(
+                                table, padded_input, tile, n_pad, p0, f0
+                            )
+                        )
+                        continue
                     out, _ = resample_uniform_lanes_general(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
                         table_strided=tstr, group=grp,
@@ -918,20 +949,29 @@ class LowLevelResampler:
                 )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             else:
-                n = np.arange(n_pad, dtype=np.int64)
-                tvec = f0 + n * self.increment
-                pos = (p0 + (tvec >> 16)).astype(np.int32)
-                frac = (tvec & 0xFFFF).astype(np.int32)
-                cfg = ConfigScalars.from_configuration(self.config, self.increment)
-                out = _convolve_jit(
-                    table, padded_input, pos, frac, cfg, self._max_taps
+                chunks.append(
+                    self._oracle_tile(table, padded_input, tile, n_pad, p0, f0)
                 )
-                chunks.append(np.asarray(out)[:tile])
         return (
             np.concatenate(chunks, axis=0)
             if chunks
             else np.zeros((0, self.channels), np.int32)
         )
+
+    def _oracle_tile(
+        self, table, padded_input: np.ndarray, tile: int, n_pad: int,
+        p0: int, f0: int,
+    ) -> np.ndarray:
+        """One tile of output frames through the XLA gather oracle
+        (ops/convolve.py) — the CPU path and the defensive downgrade when no
+        fast-kernel launch shape compiles."""
+        n = np.arange(n_pad, dtype=np.int64)
+        tvec = f0 + n * self.increment
+        pos = (p0 + (tvec >> 16)).astype(np.int32)
+        frac = (tvec & 0xFFFF).astype(np.int32)
+        cfg = ConfigScalars.from_configuration(self.config, self.increment)
+        out = _convolve_jit(table, padded_input, pos, frac, cfg, self._max_taps)
+        return np.asarray(out)[:tile]
 
     def _compute_frames_batched(
         self, padded_input: np.ndarray, descs: list, kind: str, table, tstr,

@@ -344,8 +344,10 @@ def general_w_load(max_taps: int) -> tuple:
 
 # Measured Mosaic scoped-vmem compile envelope of the general kernel
 # (tools/probe_midwide.py `envelope`/`envelope2`, AOT-compiled on v5e
-# hardware, round 4 — 28 points across w_load 48..1024, lanes 128..2048,
-# group 16/32, s 4096..16384). Two effects bound the envelope:
+# hardware, round 4 — 49 points across w_load 48..1024, lanes 128..2048,
+# group 16/32, s 4096..16384; the authoritative point list is
+# tests/test_pallas.py::test_general_launch_envelope_matches_measured_points,
+# which asserts its own count). Two effects bound the envelope:
 #   - multi-lane-tile launches double-buffer the (s, 128) input block, so
 #     s=16384 fails (~16.2M vs the 16M limit) for EVERY tap class — even
 #     taps 40 — while a single lane tile passes s=16384 at group 16 for
@@ -359,7 +361,7 @@ def general_w_load(max_taps: int) -> tuple:
 # general-class dispatch must consult this predicate.
 def general_launch_fits(s: int, lanes: int, group: int, max_taps: int) -> bool:
     """True iff resample_uniform_lanes_general compiles at this launch shape
-    (measured envelope above; exact on all 28 probed points, conservative —
+    (measured envelope above; exact on all 49 probed points, conservative —
     single-tile-only — for the unprobed w_load 144..248 group-32 interior)."""
     w_load, _ = general_w_load(max_taps)
     multi = lanes > LANES

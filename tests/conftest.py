@@ -33,6 +33,10 @@ _force_cpu_mesh()
 # (farm/scan/sharded end-to-end replays, fuzz sweeps, batched-dispatch
 # oracles) are marked centrally here by original test name — every subsystem
 # keeps at least one quick bit-exact representative in the fast tier.
+# Tier-budget rule: new tests that replay full farms/scans/sharded streams,
+# fuzz across many configs, or take >~10 s on the CPU mesh go in this set.
+# tests/test_meta.py asserts every entry still names a collected test, so a
+# rename cannot silently un-mark a heavy test.
 SLOW_TESTS = {
     # farm end-to-end replays vs the host oracle
     "test_mixed_farm_adjust_stream_capacity_drift",
@@ -41,6 +45,8 @@ SLOW_TESTS = {
     "test_mixed_farm_per_stream_adjust",
     "test_farm_matches_host",
     "test_medium_width_farm_wide_dispatch_bit_exact",
+    "test_general_envelope_failure_wide_route_bit_exact",
+    "test_multilane_general_dispatch_bit_exact",
     "test_farm_device_staging_matches_host_staging",
     "test_mixed_farm_matches_host",
     "test_farm_pitch_bend_matches_host",

@@ -508,3 +508,46 @@ def test_farm_large_chunk_strided_keeps_polyphase():
     for i in range(2):
         want = _host_reference(data[i], ch, 96000, 48000, 96000)
         np.testing.assert_array_equal(got[i], want, err_msg=f"stream {i}")
+
+
+def test_general_envelope_failure_dispatch_policy():
+    """A general-class farm whose staging shape has NO legal frame group in
+    the measured compile envelope (multi-lane, capacity > the 12288-row
+    group-16 ceiling) must route to the DMA wide kernel, not the gather
+    oracle (VERDICT r4 item 7: the wide kernel measured ~6x the oracle in
+    exactly this band). Cheap policy pin — the bit-exact replay is the slow
+    test below."""
+    from clownresampler_tpu.ops.pallas_resample import general_pick_group
+
+    # 44.1k->8k is general class (d=5, frac != 0) with shift-band taps;
+    # 260 lanes -> multi-lane tiles; chunk_frames pushes capacity past the
+    # multi-lane group-16 envelope ceiling.
+    farm = UniformStreamFarm(260, 1, 44100, 8000, 44100,
+                             chunk_frames=12500, interpret=True)
+    lane_w = max(w for w, _ in farm._lane_slices)
+    assert lane_w > 128 and farm._capacity > 12288, (
+        lane_w, farm._capacity)   # the premise: the envelope must fail here
+    assert general_pick_group(256, farm._capacity, lane_w,
+                              farm._max_taps) is None
+    specs, _ = farm._launch_specs(8)
+    assert specs[0][3][0] == "wide", specs[0][3]
+
+
+def test_general_envelope_failure_wide_route_bit_exact():
+    """Bit-exactness of the envelope-failure reroute: shift-band taps (~40)
+    through the DMA wide kernel via the farm dispatcher — a width band the
+    wide kernel never served before round 5."""
+    rng = np.random.default_rng(97)
+    ch, feed = 1, 2000
+    farm = UniformStreamFarm(260, ch, 44100, 8000, 44100,
+                             chunk_frames=12500, interpret=True)
+    specs, _ = farm._launch_specs(8)
+    assert specs[0][3][0] == "wide", specs[0][3]
+    data = rng.integers(-32768, 32768, size=(260, 2 * feed, ch)).astype(np.int16)
+    got = np.concatenate(
+        [farm.process(np.ascontiguousarray(data[:, :feed])),
+         farm.process(np.ascontiguousarray(data[:, feed:])),
+         farm.flush()], axis=1)
+    for i in (0, 1, 259):   # spot-check streams (the host loop is per-stream)
+        want = _host_reference(data[i], ch, 44100, 8000, 44100)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"stream {i}")

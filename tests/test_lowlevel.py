@@ -312,3 +312,64 @@ def test_batched_tile_dispatch_super_groups(monkeypatch):
     _, _, want = oracle_rs.resample(padded, n_in)
     assert got.shape[0] > 1024, "stream too short to span several cycles"
     np.testing.assert_array_equal(got, want)
+
+
+def test_multilane_general_dispatch_bit_exact():
+    """channels > 128 make general-class launches multi-lane-tile, where the
+    measured compile envelope caps the row budget at 12288 (the (S, 128)
+    input block is double-buffered per lane tile). The dispatcher must cap
+    rows_budget accordingly — `general_pick_group(...) or 16` used to force
+    an envelope-violating group here (ADVICE r4) — and the capped tile
+    geometry must stay bit-equal to the gather oracle."""
+    from clownresampler_tpu.ops.pallas_resample import general_launch_fits
+
+    ch, n_in = 136, 26000            # lanes_pad 256; ~4.7k output frames
+    in_rate, out_rate = 44100, 8000  # general class (d=5, frac != 0)
+
+    fast = LowLevelResampler.init(ch, in_rate, out_rate, 44100,
+                                  interpret=True)
+    # the premise: the envelope rejects the tiled-calibrated 16384-row
+    # budget at this lane count but accepts 12288
+    assert not general_launch_fits(16384, 256, 16, fast._max_taps)
+    assert general_launch_fits(12288, 256, 16, fast._max_taps)
+    oracle_rs = LowLevelResampler.init(ch, in_rate, out_rate, 44100)
+    rng = np.random.default_rng(211)
+    data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
+    r = fast.config.integer_stretched_kernel_radius
+    padded = np.zeros((n_in + 2 * r, ch), np.int16)
+    padded[r : r + n_in] = data
+
+    _, _, got = fast.resample(padded, n_in)
+    _, _, want = oracle_rs.resample(padded, n_in)
+    assert got.shape[0] > 2200, "stream too short to exercise multiple tiles"
+    np.testing.assert_array_equal(got, want)
+
+
+def test_small_chunk_group4_dispatch_bit_exact(monkeypatch):
+    """<=128-frame tiled launches dispatch at group 4 (the measured
+    micro-launch latency policy — benchmarks/RESULTS.md round-5 latency
+    sweep): pin that the branch is actually taken and stays bit-exact."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    groups = []
+    real = pr.resample_uniform_lanes_tiled
+
+    def spy(*args, **kwargs):
+        groups.append(kwargs.get("group"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pr, "resample_uniform_lanes_tiled", spy)
+
+    ch, n_in = 2, 120                 # ~110 output frames -> n_pad 128
+    fast = LowLevelResampler.init(ch, 48000, 44100, 48000, interpret=True)
+    oracle_rs = LowLevelResampler.init(ch, 48000, 44100, 48000)
+    rng = np.random.default_rng(307)
+    data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
+    r = fast.config.integer_stretched_kernel_radius
+    padded = np.zeros((n_in + 2 * r, ch), np.int16)
+    padded[r : r + n_in] = data
+
+    _, _, got = fast.resample(padded, n_in)
+    _, _, want = oracle_rs.resample(padded, n_in)
+    assert groups == [4], groups      # the micro-launch branch was taken
+    np.testing.assert_array_equal(got, want)

@@ -610,10 +610,11 @@ def test_strided_table_cache_evicts_dead_clients():
 def test_general_launch_envelope_matches_measured_points():
     """general_launch_fits() must reproduce EVERY hardware-probed compile
     outcome of the general kernel (tools/probe_midwide.py envelope/envelope2,
-    AOT-compiled on v5e, round 4 — 42 points). The dispatchers consult this
-    predicate before every general-class launch; a drifted rule either
-    ships a Mosaic scoped-vmem compile failure or leaves speed on the
-    table."""
+    AOT-compiled on v5e, round 4 — the list below is the authoritative
+    dataset; its length is asserted so re-probes visibly change coverage).
+    The dispatchers consult this predicate before every general-class
+    launch; a drifted rule either ships a Mosaic scoped-vmem compile
+    failure or leaves speed on the table."""
     from clownresampler_tpu.ops import pallas_resample as pr
 
     # (taps, lanes, group, s, compiled?) — verbatim from the probe logs.
@@ -670,6 +671,7 @@ def test_general_launch_envelope_matches_measured_points():
         (272, 2048, 16, 8192, True),
         (1016, 2048, 16, 8192, True),
     ]
+    assert len(points) == 49, len(points)   # the probed-coverage count
     for taps, lanes, group, s, compiled in points:
         assert pr.general_launch_fits(s, lanes, group, taps) == compiled, (
             taps, lanes, group, s, compiled)

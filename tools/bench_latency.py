@@ -81,16 +81,22 @@ def main() -> None:
         return (best(c2) - best(c1)) / (k2 - k1)
 
     results = []
-    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
-        # Round-4 micro-launch tune (VERDICT item 8): the per-launch floor at
-        # small chunks is per-grid-step latency x steps, traded against
-        # per-step MAC volume (8*group frames/step). Sweep every legal
-        # (n_out, group) at realtime chunk sizes to find the floor's shape.
+    sweep = len(sys.argv) > 1 and sys.argv[1] == "sweep"
+    if sweep:
+        # Micro-launch tune: the per-launch floor at small chunks is
+        # per-grid-step latency x steps, traded against per-step MAC volume
+        # (8*group frames/step). Sweep every legal (n_out, group) at realtime
+        # chunk sizes to find the floor's shape. At a few us/launch the
+        # 64/320 chains are NOISE (round-5 rerun saw negative slopes), so
+        # sweep mode uses long chains: the k2-k1=3584-launch delta is >=10 ms
+        # even at 3 us/launch, well above relay jitter at min-of-9.
         cases = [(n, g) for n in (64, 128, 256, 512)
                  for g in (1, 2, 4, 8, 16, 32, 64) if n % (8 * g) == 0]
+        k1, k2, reps = 512, 4096, 9
     else:
         # group=8 -> n_out/64 grid steps; the 64-frame launch is a SINGLE step.
         cases = [(64, 8), (128, 8), (256, 32), (1024, 32), (8192, 32)]
+        k1, k2, reps = 64, 320, 5
     for n_out, group in cases:
         s = ((n_out * inc) >> 16) + 96
         s = -(-s // 16) * 16
@@ -106,7 +112,7 @@ def main() -> None:
             return x.at[0, 0].add(out[0, 0] & 1)
 
         # long chains: small launches need many iterations for a clean slope
-        dt = kslope(body, x0, 64, 320)
+        dt = kslope(body, x0, k1, k2, reps=reps)
         period_ms = n_out / OUT_RATE * 1e3       # realtime budget per chunk
         results.append({
             "n_out": n_out,

@@ -269,6 +269,57 @@ def envelope2():
                   flush=True)
 
 
+def envelope3():
+    """Round-5 interior probe (VERDICT r4 item 8): group-32 multi-lane-tile
+    points in the w_load 144..248 shift band, where general_launch_fits is
+    conservative by construction (returns False without a measurement —
+    round 4 probed w_load 48 PASS at s 12288 and w_load 256 FAIL everywhere
+    multi, nothing between). If group 32 compiles anywhere here, the
+    dispatchers gain its ~12%/step on mid-shift-band multi-lane launches."""
+    import jax.numpy as jnp
+
+    from clownresampler_tpu.models import DEFAULT_MODEL
+    from clownresampler_tpu.ops.pallas_resample import (
+        general_w_load,
+        resample_uniform_lanes_general,
+        strided_table_device,
+    )
+
+    # out rates giving taps 136/168/200/240 -> w_load 144/176/208/248
+    cases = [
+        (2010, [(512, 32, 12288), (512, 32, 8192), (512, 32, 4096),
+                (2048, 32, 8192)]),
+        (1594, [(512, 32, 8192), (512, 32, 4096), (2048, 32, 8192)]),
+        (1350, [(512, 32, 8192), (512, 32, 4096), (2048, 32, 8192)]),
+        (1110, [(512, 32, 8192), (512, 32, 4096), (2048, 32, 4096)]),
+    ]
+    n_out = 256
+    for out_rate, combos in cases:
+        table, cfg, inc, state, taps = _setup(44100, out_rate, p0=0)
+        w_load, shift = general_w_load(taps)
+        tstr = strided_table_device(
+            DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+            cfg.kernel_step_size, taps,
+        )
+        for lanes, group, s in combos:
+            x = jnp.zeros((s, lanes), jnp.int32)
+            try:
+                resample_uniform_lanes_general.lower(
+                    table, x, state, max_taps=taps, n_out=n_out,
+                    group=group, table_strided=tstr,
+                ).compile()
+                verdict = "PASS"
+            except Exception as e:
+                msg = str(e)
+                i = msg.find("Scoped allocation with size")
+                verdict = ("FAIL " + msg[i : i + 60].split(".  ")[0]
+                           if i >= 0 else
+                           f"FAIL {type(e).__name__}: {msg[:80]}")
+            print(f"taps={taps} w_load={w_load} shift={shift} "
+                  f"lanes={lanes} group={group} s={s}: {verdict}",
+                  flush=True)
+
+
 def dma_split(lanes=1024):
     """Estimate the wide kernel's DMA share: time the real launch vs one
     called with d=0, which shrinks the per-group union-window DMA span from
@@ -383,6 +434,8 @@ if __name__ == "__main__":
         envelope()
     elif mode == "envelope2":
         envelope2()
+    elif mode == "envelope3":
+        envelope3()
     elif mode == "dmasplit":
         dma_split(int(sys.argv[2]) if len(sys.argv) > 2 else 1024)
     elif mode == "pipeline":
