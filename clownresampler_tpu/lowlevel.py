@@ -871,18 +871,15 @@ class LowLevelResampler:
                 x = jnp.asarray(window)
                 if plan["kernel"] == "tiled":
                     # group 32 for big launches (throughput, ~27% per round
-                    # 2); group 4 for <=128-frame launches — the round-4
-                    # latency sweep (tools/bench_latency.py sweep) measured
-                    # 1.2/2.3 us per 64/128-frame launch at group 4 vs
-                    # 10.2/6.0 us at the old default 8, which makes the TPU
-                    # beat one C core on per-chunk latency from 64-frame
-                    # chunks up (benchmarks/RESULTS.md round-4 latency).
-                    if n_pad % 256 == 0:
-                        grp = 32
-                    elif n_pad <= 128:
-                        grp = 4
-                    else:
-                        grp = 8
+                    # 2); group 8 otherwise — the round-5 long-chain latency
+                    # sweep (tools/bench_latency.py sweep, on the record in
+                    # benchmarks/RESULTS.md "Latency (round 5)") measured
+                    # group 8 fastest at both 64-frame (3.6 us, one grid
+                    # step) and 128-frame (5.6 us) launches; a round-4
+                    # short-chain sweep briefly shipped group 4 here on what
+                    # turned out to be relay noise (group 4 is 5.4/6.2 us —
+                    # strictly slower).
+                    grp = 32 if n_pad % 256 == 0 else 8
                     out, _ = resample_uniform_lanes_tiled(
                         table, x, state, max_taps=self._max_taps, n_out=n_pad,
                         d=plan["d"], cand=plan["cand"], table_strided=tstr,

@@ -345,10 +345,12 @@ def test_multilane_general_dispatch_bit_exact():
     np.testing.assert_array_equal(got, want)
 
 
-def test_small_chunk_group4_dispatch_bit_exact(monkeypatch):
-    """<=128-frame tiled launches dispatch at group 4 (the measured
+def test_small_chunk_micro_launch_dispatch_bit_exact(monkeypatch):
+    """<=128-frame tiled launches dispatch at group 8 (the measured
     micro-launch latency policy — benchmarks/RESULTS.md round-5 latency
-    sweep): pin that the branch is actually taken and stays bit-exact."""
+    sweep: group 8 is fastest at 64/128 frames; a round-4 noise artifact
+    briefly shipped group 4 here): pin that the micro-launch branch is
+    actually taken and stays bit-exact."""
     from clownresampler_tpu.ops import pallas_resample as pr
 
     groups = []
@@ -371,5 +373,5 @@ def test_small_chunk_group4_dispatch_bit_exact(monkeypatch):
 
     _, _, got = fast.resample(padded, n_in)
     _, _, want = oracle_rs.resample(padded, n_in)
-    assert groups == [4], groups      # the micro-launch branch was taken
+    assert groups == [8], groups      # the micro-launch branch was taken
     np.testing.assert_array_equal(got, want)
