@@ -321,10 +321,13 @@ class UniformStreamFarm:
             # block and medium tap widths shrink the ceiling to 8192 rows.
             # No legal frame group at this staging shape -> the DMA wide
             # kernel, NOT the gather oracle: in the shapes that fail here
-            # (shift-band taps at >8192-row capacities, multi-lane) the wide
-            # kernel measured ~6x the oracle (benchmarks/RESULTS.md round-5
-            # envelope-failure note), and its buffer-safety argument is the
-            # same slack inequality as the crossover band below.
+            # (shift-band taps at over-ceiling capacities, multi-lane) the
+            # wide kernel at its width-dependent launch bound measured
+            # 6.0 Gsamples/s vs the oracle's 1.2 at taps 40 x 512 lanes —
+            # ~5x, and at parity with the general kernel's in-envelope rate
+            # (benchmarks/RESULTS.md round-5 envelope-failure note). Its
+            # buffer-safety argument is the same slack inequality as the
+            # crossover band below.
             lane_w = max(w for w, _ in self._lane_slices)
             if general_pick_group(
                 256, self._capacity, lane_w, self._max_taps
@@ -342,11 +345,11 @@ class UniformStreamFarm:
             # slack, which is >= radius_bound + 16
             # (window_rows_needed(max_taps) >= 2*radius_bound alone).
             from clownresampler_tpu.ops.pallas_resample import (
-                WIDE_MAX_LAUNCH_FRAMES,
+                wide_max_launch_frames,
             )
 
             kind, d, cand = "wide", self.increment >> 16, None
-            step = WIDE_MAX_LAUNCH_FRAMES
+            step = wide_max_launch_frames(self._max_taps)
         else:
             if kind == "tiled" and self._capacity > VMEM_SAFE_INPUT_ROWS:
                 kind, d, cand = "oracle", None, None  # Mosaic VMEM safety

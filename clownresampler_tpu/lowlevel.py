@@ -712,7 +712,6 @@ class LowLevelResampler:
         import jax as _jax
 
         from clownresampler_tpu.ops.pallas_resample import (
-            WIDE_MAX_LAUNCH_FRAMES,
             choose_strided_plan,
             general_launch_fits,
             general_pick_group,
@@ -725,6 +724,7 @@ class LowLevelResampler:
             resample_wide_taps,
             strided_phase_padding,
             strided_table_device,
+            wide_max_launch_frames,
             wide_serves,
             window_rows_needed,
         )
@@ -820,9 +820,10 @@ class LowLevelResampler:
                 rows = min(bucket, rows_budget)
             elif use_wide:
                 # DMA-based wide kernel: input stays in HBM (no VMEM row
-                # budget); launches are capped at WIDE_MAX_LAUNCH_FRAMES and
-                # the row window power-of-two-bucketed to bound recompiles.
-                tile = min(tile, WIDE_MAX_LAUNCH_FRAMES)
+                # budget); launches are capped at the width-dependent
+                # wide_max_launch_frames bound and the row window
+                # power-of-two-bucketed to bound recompiles.
+                tile = min(tile, wide_max_launch_frames(self._max_taps))
                 n_pad = fx.round_up(tile, 8)
                 rows = ((n_pad * self.increment) >> 16) + self._max_taps + 64
                 bucket = 1024

@@ -343,9 +343,9 @@ def general_w_load(max_taps: int) -> tuple:
 
 
 # Measured Mosaic scoped-vmem compile envelope of the general kernel
-# (tools/probe_midwide.py `envelope`/`envelope2`, AOT-compiled on v5e
-# hardware, round 4 — 49 points across w_load 48..1024, lanes 128..2048,
-# group 16/32, s 4096..16384; the authoritative point list is
+# (tools/probe_midwide.py `envelope`/`envelope2`/`envelope3`, AOT-compiled
+# on v5e hardware, rounds 4-5 — 62 points across w_load 48..1024, lanes
+# 128..2048, group 16/32, s 4096..16384; the authoritative point list is
 # tests/test_pallas.py::test_general_launch_envelope_matches_measured_points,
 # which asserts its own count). Two effects bound the envelope:
 #   - multi-lane-tile launches double-buffer the (s, 128) input block, so
@@ -361,8 +361,11 @@ def general_w_load(max_taps: int) -> tuple:
 # general-class dispatch must consult this predicate.
 def general_launch_fits(s: int, lanes: int, group: int, max_taps: int) -> bool:
     """True iff resample_uniform_lanes_general compiles at this launch shape
-    (measured envelope above; exact on all 49 probed points, conservative —
-    single-tile-only — for the unprobed w_load 144..248 group-32 interior)."""
+    (measured envelope above; exact on all 62 probed points — the round-5
+    `envelope3` probe filled the w_load 144..248 group-32 interior: 144
+    compiles multi-lane to s 8192, 176/208 to s 4096, 248 never multi;
+    the failing allocations are lane-count-independent, confirming the
+    per-lane-tile scoping model)."""
     w_load, _ = general_w_load(max_taps)
     multi = lanes > LANES
     if group <= 16:
@@ -371,8 +374,10 @@ def general_launch_fits(s: int, lanes: int, group: int, max_taps: int) -> bool:
         return s <= (12288 if w_load <= 136 else 8192)
     if w_load <= 48:
         return s <= 12288
-    if w_load <= 136:
+    if w_load <= 144:
         return s <= 8192
+    if w_load <= 208:
+        return s <= (4096 if multi else 8192)
     if w_load <= 256:
         return not multi and s <= 8192
     return False
@@ -1000,6 +1005,22 @@ def resample_integer_stride(
 
 WIDE_FRAME_GROUP = 8      # frames per grid step (out block sublane count)
 WIDE_MAX_LAUNCH_FRAMES = 64   # caps the duplicated kv layout's footprint
+
+
+def wide_max_launch_frames(max_taps: int) -> int:
+    """Frames-per-launch cap for resample_wide_taps at this reserved width.
+
+    64 everywhere the wide kernel normally serves: the round-5 launch-size
+    sweep (v5e, 512 lanes) measured LARGER launches strictly slower past the
+    shift band (taps 1016: 0.399 G at 64 frames vs 0.245 at 256; taps 2008:
+    0.202 vs 0.112 at 192), and the duplicated kv layout's footprint scales
+    with frames x width. SMALL widths invert: a 64-frame launch is overhead-
+    bound there (taps 40: 1.03 G at 64 frames vs 6.0 G at 256; taps 136:
+    0.80 vs 1.85), and the only dispatcher that sends such widths wide is
+    the farm's compile-envelope-failure reroute (general-class staging
+    shapes with no legal frame group) — so the shift-band interior gets the
+    256-frame cap it measured fastest at."""
+    return 256 if max_taps <= 136 else WIDE_MAX_LAUNCH_FRAMES
 # MAC rows per grid step along the tap-block axis. Bounds the kernel's live
 # vector temporaries: one whole-window multiply at radius 3007 (w=6032)
 # keeps several (w, 128) buffers live across the 8 unrolled frames and
@@ -1247,7 +1268,8 @@ def resample_wide_taps(
     state: DeviceState,
     *,
     max_taps: int,       # static; any width the reference accepts
-    n_out: int,          # static; multiple of 8, <= WIDE_MAX_LAUNCH_FRAMES
+    n_out: int,          # static; multiple of 8,
+                         # <= wide_max_launch_frames(max_taps)
     d: int,              # static stride bound: increment >> 16 (sizes the
                          # per-group DMA window)
     clamp_s16: bool = False,
@@ -1273,7 +1295,8 @@ def resample_wide_taps(
     assert lanes % LANES == 0 and lane_offset % LANES == 0
     assert lane_offset + lanes <= l
     assert n_out % WIDE_FRAME_GROUP == 0
-    assert n_out <= WIDE_MAX_LAUNCH_FRAMES, "tile wide launches (dispatchers do)"
+    assert n_out <= wide_max_launch_frames(max_taps), (
+        "tile wide launches (dispatchers do)")
     # Every alignment claim below (pl.multiple_of on off+kb0, the 8-aligned
     # clamp bounds) presumes an 8-aligned reserved width; dispatchers round
     # max_taps up, but a direct caller must too — silently wrong windows

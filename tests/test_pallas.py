@@ -670,8 +670,22 @@ def test_general_launch_envelope_matches_measured_points():
         (248, 2048, 16, 12288, False),
         (272, 2048, 16, 8192, True),
         (1016, 2048, 16, 8192, True),
+        # envelope3 sweep (round 5: the w_load 144..248 group-32 interior)
+        (136, 512, 32, 12288, False),
+        (136, 512, 32, 8192, True),
+        (136, 512, 32, 4096, True),
+        (136, 2048, 32, 8192, True),
+        (168, 512, 32, 8192, False),
+        (168, 512, 32, 4096, True),
+        (168, 2048, 32, 8192, False),
+        (200, 512, 32, 8192, False),
+        (200, 512, 32, 4096, True),
+        (200, 2048, 32, 8192, False),
+        (240, 512, 32, 8192, False),
+        (240, 512, 32, 4096, False),
+        (240, 2048, 32, 4096, False),
     ]
-    assert len(points) == 49, len(points)   # the probed-coverage count
+    assert len(points) == 62, len(points)   # the probed-coverage count
     for taps, lanes, group, s, compiled in points:
         assert pr.general_launch_fits(s, lanes, group, taps) == compiled, (
             taps, lanes, group, s, compiled)
