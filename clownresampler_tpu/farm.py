@@ -304,6 +304,21 @@ class UniformStreamFarm:
             kind, d, cand = plan["kernel"], plan.get("d"), plan.get("cand")
         else:
             kind = None   # past the fast-kernel guard: wide unconditionally
+        # Launch at the CURRENT ratio's tap width class, not the farm's
+        # reserved bound: precompute_launch's geometry is config-driven and
+        # its kv columns are masked at the per-frame tap count, so any
+        # launch width >= the current class is bit-exact — and the kernels'
+        # MAC volume (and the wide kernel's per-window DMA span) scale with
+        # the LAUNCH width. An adjusted-down farm used to MAC the whole
+        # reserve: the config-4 pitch-bend sweep (reserve 16, five of eight
+        # rates in the 8-tap class) measured 1.36x faster same-window with
+        # current-width launches, bit-exact on device (benchmarks/RESULTS.md
+        # round 5). Recompiles stay bounded: widths bucket to multiples of
+        # 8, and a re-rate already recompiles via its n_pad change.
+        taps_launch = min(
+            self._max_taps,
+            fx.round_up(2 * self.config.integer_stretched_kernel_radius, 8),
+        )
         # The crossover consults the farm's WIDEST lane slice: the kind is
         # per-farm (every slice shares the fused multi_resample program), so
         # a mixed-width farm whose widest slice crosses over sends its
@@ -312,7 +327,7 @@ class UniformStreamFarm:
         # majority's 2.3-8.8x win dominates; per-slice kinds would split the
         # fused program per chunk).
         route_wide = kind is None or wide_serves(
-            kind, self._max_taps, lanes=max(w for w, _ in self._lane_slices)
+            kind, taps_launch, lanes=max(w for w, _ in self._lane_slices)
         )
         if not route_wide and kind == "general":
             # The general kernel's compile envelope is TIGHTER than the
@@ -330,7 +345,7 @@ class UniformStreamFarm:
             # crossover band below.
             lane_w = max(w for w, _ in self._lane_slices)
             if general_pick_group(
-                256, self._capacity, lane_w, self._max_taps
+                256, self._capacity, lane_w, taps_launch
             ) is None:
                 route_wide = True
         if route_wide:
@@ -349,7 +364,7 @@ class UniformStreamFarm:
             )
 
             kind, d, cand = "wide", self.increment >> 16, None
-            step = wide_max_launch_frames(self._max_taps)
+            step = wide_max_launch_frames(taps_launch)
         else:
             if kind == "tiled" and self._capacity > VMEM_SAFE_INPUT_ROWS:
                 kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
@@ -379,7 +394,7 @@ class UniformStreamFarm:
             p0_w = self.position_integer + (t_w >> 16) + halo_shift
             need = (
                 p0_w + 1 + (n_pad_w - 256) * d
-                + strided_phase_padding(self._max_taps, d, 32)
+                + strided_phase_padding(taps_launch, d, 32)
             )
             if need > self._capacity:
                 kind = "strided_xla"
@@ -397,7 +412,7 @@ class UniformStreamFarm:
             for split_idx in range(len(self._lane_slices)):
                 specs.append((
                     tile, split_idx, state,
-                    (kind, d, cand, self._max_taps, n_pad, self.clamp_s16),
+                    (kind, d, cand, taps_launch, n_pad, self.clamp_s16),
                 ))
             done += tile
         return specs, len(self._lane_slices)
@@ -406,14 +421,14 @@ class UniformStreamFarm:
         """Per-spec strided kernel table (the fast row-gather LUT layout)
         for the kinds whose precompute gathers per-frame taps; None for the
         strided/oracle kinds (constant-fraction geometry / plain gather)."""
-        tstr = None
-        if any(p[0] in ("tiled", "general", "wide") for *_, p in specs):
-            tstr = strided_table_device(
-                self.model.radius, self.model.resolution,
-                self.config.kernel_step_size, self._max_taps,
-            )
+        # Keyed on the PLAN's width (the current ratio's class, which may be
+        # narrower than the farm reserve); strided_table_device caches per
+        # config, so repeated lookups are free.
         return tuple(
-            tstr if p[0] in ("tiled", "general", "wide") else None
+            strided_table_device(
+                self.model.radius, self.model.resolution,
+                self.config.kernel_step_size, p[3],
+            ) if p[0] in ("tiled", "general", "wide") else None
             for *_, p in specs
         )
 

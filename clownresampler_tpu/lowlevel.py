@@ -731,9 +731,22 @@ class LowLevelResampler:
 
         table = self.model.table()
         on_device = _jax.default_backend() == "tpu" or self.interpret
+        # Launch at the CURRENT ratio's tap width class, not the reserve:
+        # precompute_launch's geometry is config-driven and its kv columns
+        # are masked at the per-frame tap count, so any launch width >= the
+        # current class is bit-exact — while MAC volume, window uploads, and
+        # the wide kernel's DMA span all scale with the LAUNCH width (the
+        # farm's current-width launches measured 1.36x on the pitch-bend
+        # sweep, benchmarks/RESULTS.md round 5). A reserve-wide stream
+        # adjusted to a narrow ratio also regains the fast VMEM kernels
+        # this way (the FAST_KERNEL_MAX_TAPS guard tests the launch width).
+        taps_l = min(
+            self._max_taps,
+            fx.round_up(2 * self.config.integer_stretched_kernel_radius, 8),
+        )
         plan = (
             plan_uniform(self.increment, 0)
-            if on_device and self._max_taps <= FAST_KERNEL_MAX_TAPS
+            if on_device and taps_l <= FAST_KERNEL_MAX_TAPS
             else None
         )
         # Kernels past the VMEM-resident width guard run the DMA-based wide
@@ -743,9 +756,9 @@ class LowLevelResampler:
         # so pass this stream's real lane count) route there too.
         lanes_pad = fx.round_up(self.channels, 128)
         use_wide = on_device and (
-            self._max_taps > FAST_KERNEL_MAX_TAPS
+            taps_l > FAST_KERNEL_MAX_TAPS
             or (plan is not None
-                and wide_serves(plan["kernel"], self._max_taps,
+                and wide_serves(plan["kernel"], taps_l,
                                 lanes=lanes_pad))
         )
         use_fast = plan is not None and not use_wide
@@ -761,7 +774,7 @@ class LowLevelResampler:
         general_rows_budget = 16384
         if use_fast and plan["kernel"] == "general":
             for cap in (16384, 12288, 8192, 4096):
-                if general_launch_fits(cap, lanes_pad, 16, self._max_taps):
+                if general_launch_fits(cap, lanes_pad, 16, taps_l):
                     general_rows_budget = cap
                     break
             else:
@@ -771,18 +784,18 @@ class LowLevelResampler:
             # gets a bounded row window (rebased positions) instead of the
             # whole stream; slack covers aligned loads past the last window.
             d = self.increment >> 16
-            slack = window_rows_needed(self._max_taps, min(d, 1), 8) + 8 * d + 32
+            slack = window_rows_needed(taps_l, min(d, 1), 8) + 8 * d + 32
             if plan["kernel"] == "strided":
                 # Polyphase strided kernels over-read d*(w_load+8) rows past
                 # the last frame's window (strided_phase_padding contract).
-                slack = max(slack, strided_phase_padding(self._max_taps, d, 32) + 8)
+                slack = max(slack, strided_phase_padding(taps_l, d, 32) + 8)
             rows_budget = (general_rows_budget if plan["kernel"] == "general"
                            else 16384)
-            rows_per_tile = rows_budget - 2 * (self._max_taps // 2) - slack
+            rows_per_tile = rows_budget - 2 * (taps_l // 2) - slack
             max_tile_frames = max(64, (rows_per_tile << 16) // self.increment - 8)
             tstr = strided_table_device(
                 self.model.radius, self.model.resolution,
-                self.config.kernel_step_size, self._max_taps,
+                self.config.kernel_step_size, taps_l,
             )
 
         # ---- pass 1: tile geometry (shared by the sequential and batched
@@ -812,7 +825,7 @@ class LowLevelResampler:
                 # 16384-row budget, while the bucket count bounds recompiles.
                 rows = min(
                     rows_budget,
-                    ((n_pad * self.increment) >> 16) + self._max_taps + slack,
+                    ((n_pad * self.increment) >> 16) + taps_l + slack,
                 )
                 bucket = 1024
                 while bucket < rows:
@@ -823,20 +836,20 @@ class LowLevelResampler:
                 # budget); launches are capped at the width-dependent
                 # wide_max_launch_frames bound and the row window
                 # power-of-two-bucketed to bound recompiles.
-                tile = min(tile, wide_max_launch_frames(self._max_taps))
+                tile = min(tile, wide_max_launch_frames(taps_l))
                 n_pad = fx.round_up(tile, 8)
-                rows = ((n_pad * self.increment) >> 16) + self._max_taps + 64
+                rows = ((n_pad * self.increment) >> 16) + taps_l + 64
                 bucket = 1024
                 while bucket < rows:
                     bucket *= 2
                 rows = bucket
             else:
-                if self._max_taps > FAST_KERNEL_MAX_TAPS:
+                if taps_l > FAST_KERNEL_MAX_TAPS:
                     # Wide-kernel oracle (CPU path): the gather materialises
                     # (n_pad, max_taps, C) windows — bound the launch footprint
                     # and skip the recompilation-bucket padding (natural counts
                     # at such ratios are tiny anyway).
-                    tile = min(tile, max(8, (1 << 22) // self._max_taps))
+                    tile = min(tile, max(8, (1 << 22) // taps_l))
                     n_pad = fx.round_up(tile, 8)
                 else:
                     n_pad = fx.round_up(tile, 512)
@@ -853,10 +866,10 @@ class LowLevelResampler:
             if use_wide:
                 tstr = strided_table_device(
                     self.model.radius, self.model.resolution,
-                    self.config.kernel_step_size, self._max_taps,
+                    self.config.kernel_step_size, taps_l,
                 )
             return self._compute_frames_batched(
-                padded_input, descs, kind, table, tstr,
+                padded_input, descs, kind, table, tstr, taps_l,
                 cand=plan["cand"] if use_fast and kind == "tiled" else None,
             )
 
@@ -882,18 +895,18 @@ class LowLevelResampler:
                     # strictly slower).
                     grp = 32 if n_pad % 256 == 0 else 8
                     out, _ = resample_uniform_lanes_tiled(
-                        table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                        table, x, state, max_taps=taps_l, n_out=n_pad,
                         d=plan["d"], cand=plan["cand"], table_strided=tstr,
                         group=grp,
                         interpret=self.interpret,
                     )
                 elif plan["kernel"] == "strided":
                     choice = choose_strided_plan(
-                        rows, plan["d"], n_pad, self._max_taps
+                        rows, plan["d"], n_pad, taps_l
                     )
                     if choice is None:
                         out, _ = resample_integer_stride(
-                            table, x, state, max_taps=self._max_taps,
+                            table, x, state, max_taps=taps_l,
                             n_out=n_pad, d=plan["d"],
                         )
                     else:
@@ -901,7 +914,7 @@ class LowLevelResampler:
                         fn = (resample_strided_phases if variant == "fused"
                               else resample_strided_phases_wide)
                         out, _ = fn(
-                            table, x, state, max_taps=self._max_taps,
+                            table, x, state, max_taps=taps_l,
                             n_out=n_pad, d=plan["d"], group=grp,
                             interpret=self.interpret,
                         )
@@ -914,17 +927,18 @@ class LowLevelResampler:
                     # group (which shipped a Mosaic compile failure, ADVICE
                     # r4).
                     grp = general_pick_group(
-                        n_pad, rows, lanes_pad, self._max_taps
+                        n_pad, rows, lanes_pad, taps_l
                     )
                     if grp is None:
                         chunks.append(
                             self._oracle_tile(
-                                table, padded_input, tile, n_pad, p0, f0
+                                table, padded_input, tile, n_pad, p0, f0,
+                                taps_l,
                             )
                         )
                         continue
                     out, _ = resample_uniform_lanes_general(
-                        table, x, state, max_taps=self._max_taps, n_out=n_pad,
+                        table, x, state, max_taps=taps_l, n_out=n_pad,
                         table_strided=tstr, group=grp,
                         interpret=self.interpret,
                     )
@@ -937,18 +951,19 @@ class LowLevelResampler:
                 state = make_device_state(0, f0, self.config, self.increment)
                 tstr_w = strided_table_device(
                     self.model.radius, self.model.resolution,
-                    self.config.kernel_step_size, self._max_taps,
+                    self.config.kernel_step_size, taps_l,
                 )
                 out, _ = resample_wide_taps(
                     table, jnp.asarray(window), state,
-                    max_taps=self._max_taps, n_out=n_pad,
+                    max_taps=taps_l, n_out=n_pad,
                     d=self.increment >> 16, table_strided=tstr_w,
                     interpret=self.interpret,
                 )
                 chunks.append(np.asarray(out)[:tile, : self.channels])
             else:
                 chunks.append(
-                    self._oracle_tile(table, padded_input, tile, n_pad, p0, f0)
+                    self._oracle_tile(table, padded_input, tile, n_pad, p0,
+                                      f0, taps_l)
                 )
         return (
             np.concatenate(chunks, axis=0)
@@ -958,22 +973,25 @@ class LowLevelResampler:
 
     def _oracle_tile(
         self, table, padded_input: np.ndarray, tile: int, n_pad: int,
-        p0: int, f0: int,
+        p0: int, f0: int, taps: Optional[int] = None,
     ) -> np.ndarray:
         """One tile of output frames through the XLA gather oracle
         (ops/convolve.py) — the CPU path and the defensive downgrade when no
-        fast-kernel launch shape compiles."""
+        fast-kernel launch shape compiles. ``taps`` is the launch width
+        (>= the current ratio's class; defaults to the reserve — any such
+        width is bit-exact, narrower gathers smaller windows)."""
         n = np.arange(n_pad, dtype=np.int64)
         tvec = f0 + n * self.increment
         pos = (p0 + (tvec >> 16)).astype(np.int32)
         frac = (tvec & 0xFFFF).astype(np.int32)
         cfg = ConfigScalars.from_configuration(self.config, self.increment)
-        out = _convolve_jit(table, padded_input, pos, frac, cfg, self._max_taps)
+        out = _convolve_jit(table, padded_input, pos, frac, cfg,
+                            self._max_taps if taps is None else taps)
         return np.asarray(out)[:tile]
 
     def _compute_frames_batched(
         self, padded_input: np.ndarray, descs: list, kind: str, table, tstr,
-        cand: Optional[int] = None,
+        taps: int, cand: Optional[int] = None,
     ) -> np.ndarray:
         """Launch many independent tiles, TILE_LAUNCH_GROUP per device program.
 
@@ -996,15 +1014,15 @@ class LowLevelResampler:
             # ~16% faster than the fleet default 8 even though the group's
             # launches overlap (measured on hardware at the full-tile shape).
             "tiled": lambda n_pad: ("tiled", self.increment >> 16,
-                                    cand, self._max_taps,
+                                    cand, taps,
                                     n_pad, False, None, 0,
                                     32 if n_pad % 256 == 0 else 8),
             "strided": lambda n_pad: ("strided", self.increment >> 16, None,
-                                      self._max_taps, n_pad, False),
-            "general": lambda n_pad: ("general", None, None, self._max_taps,
+                                      taps, n_pad, False),
+            "general": lambda n_pad: ("general", None, None, taps,
                                       n_pad, False),
             "wide": lambda n_pad: ("wide", self.increment >> 16, None,
-                                   self._max_taps, n_pad, False),
+                                   taps, n_pad, False),
         }[kind]
         tstr_entry = None if kind == "strided" else tstr
 

@@ -47,6 +47,7 @@ SLOW_TESTS = {
     "test_medium_width_farm_wide_dispatch_bit_exact",
     "test_general_envelope_failure_wide_route_bit_exact",
     "test_multilane_general_dispatch_bit_exact",
+    "test_wide_reserve_narrow_ratio_fast_kernel_dispatch",
     "test_farm_device_staging_matches_host_staging",
     "test_mixed_farm_matches_host",
     "test_farm_pitch_bend_matches_host",

@@ -325,10 +325,13 @@ def test_wide_bound_farm_narrow_ratio_bit_exact():
 def test_medium_width_farm_wide_dispatch_bit_exact(monkeypatch):
     """With the medium-width crossover lowered (WIDE_DISPATCH_MIN_TAPS),
     general-class farm launches in the band run the DMA wide kernel. Two
-    regimes: (a) the farm's ratio IS medium-width (taps 760), (b) the
-    reserve-gap — a medium RESERVED width over a narrow current ratio, where
-    the kernel reads the reserved window with surplus zero taps (the round-3
-    trap: clamps must not shift legal frames)."""
+    regimes: (a) the farm's ratio IS medium-width (taps 760) -> wide
+    dispatch; (b) the reserve-gap — a medium RESERVED width over a narrow
+    current ratio. Since round 5 the farm launches at the CURRENT width
+    class, so regime (b) dispatches the narrow-class kernel at taps 40
+    (reading 40-tap windows against the 380-radius staging halo — the
+    halo_shift geometry the round-3 reserve-gap trap was about), and must
+    stay bit-exact."""
     from clownresampler_tpu.ops import pallas_resample as pr
 
     monkeypatch.setattr(pr, "WIDE_DISPATCH_MIN_TAPS", 504)
@@ -337,16 +340,17 @@ def test_medium_width_farm_wide_dispatch_bit_exact(monkeypatch):
     ch, chunk = 1, 2048
     data = rng.integers(-32768, 32768, size=(2, 2 * chunk, ch)).astype(np.int16)
 
-    for in_rate, out_rate, max_radius in [
-        (44100, 349, None),    # (a) medium-width ratio: radius 380, taps 760
-        (44100, 8000, 380),    # (b) narrow ratio under a medium reserve
+    for in_rate, out_rate, max_radius, want_kind, want_taps in [
+        (44100, 349, None, "wide", 760),   # (a) medium-width ratio
+        (44100, 8000, 380, "general", 40),  # (b) narrow under medium reserve
     ]:
         farm = UniformStreamFarm(2, ch, in_rate, out_rate,
                                  max(in_rate, out_rate), chunk_frames=chunk,
                                  interpret=True, max_radius=max_radius)
         assert 504 < farm._max_taps <= 1024, "farm must sit in the medium band"
         specs, _ = farm._launch_specs(8)
-        assert specs[0][3][0] == "wide", specs[0][3]
+        assert specs[0][3][0] == want_kind, specs[0][3]
+        assert specs[0][3][3] == want_taps, specs[0][3]
         chunks = data[:, :chunk], data[:, chunk:]
         got = np.concatenate(
             [farm.process(np.ascontiguousarray(c)) for c in chunks]

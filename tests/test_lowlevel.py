@@ -279,9 +279,9 @@ def test_batched_tile_dispatch_super_groups(monkeypatch):
     captured = {}
     orig = lowlevel.LowLevelResampler._compute_frames_batched
 
-    def spy(self, padded_input, descs, kind, table, tstr, cand=None):
+    def spy(self, padded_input, descs, kind, table, tstr, taps, cand=None):
         captured["descs"] = descs
-        return orig(self, padded_input, descs, kind, table, tstr, cand)
+        return orig(self, padded_input, descs, kind, table, tstr, taps, cand)
 
     monkeypatch.setattr(
         lowlevel.LowLevelResampler, "_compute_frames_batched", spy
@@ -374,4 +374,39 @@ def test_small_chunk_micro_launch_dispatch_bit_exact(monkeypatch):
     _, _, got = fast.resample(padded, n_in)
     _, _, want = oracle_rs.resample(padded, n_in)
     assert groups == [8], groups      # the micro-launch branch was taken
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wide_reserve_narrow_ratio_fast_kernel_dispatch():
+    """A stream whose RESERVE is past FAST_KERNEL_MAX_TAPS but whose current
+    ratio is narrow dispatches at the current width class (round 5): the
+    fast VMEM kernels serve it (previously the wide DMA kernel read the full
+    reserved window per frame), bit-exact vs the gather oracle."""
+    from clownresampler_tpu.ops import pallas_resample as pr
+
+    calls = []
+    real = pr.resample_uniform_lanes_general
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("max_taps"))
+        return real(*args, **kwargs)
+
+    rng = np.random.default_rng(113)
+    ch, n_in = 2, 9000
+    fast = LowLevelResampler.init(ch, 44100, 8000, 44100, max_radius=1003,
+                                  interpret=True)
+    assert fast._max_taps > 1024      # reserve past the fast-kernel guard
+    oracle_rs = LowLevelResampler.init(ch, 44100, 8000, 44100)
+    data = rng.integers(-32768, 32768, size=(n_in, ch)).astype(np.int16)
+    r = fast.config.integer_stretched_kernel_radius
+    padded = np.zeros((n_in + 2 * r, ch), np.int16)
+    padded[r : r + n_in] = data
+
+    import unittest.mock
+    with unittest.mock.patch.object(
+        pr, "resample_uniform_lanes_general", spy
+    ):
+        _, _, got = fast.resample(padded, n_in)
+    _, _, want = oracle_rs.resample(padded, n_in)
+    assert calls and all(t == 40 for t in calls), calls
     np.testing.assert_array_equal(got, want)

@@ -340,7 +340,11 @@ def dma_split(lanes=1024):
 
     rng = np.random.default_rng(1)
     print(f"backend={jax.default_backend()} lanes={lanes}", flush=True)
-    for in_rate, out_rate in [(44100, 132), (44100, 262)]:  # taps 2008 / 1016
+    # taps 2008 / 1016 (whole-window MAC band) and the WIDEST accepted ratio
+    # 44100->44 (taps 6016, the BLOCKED tap-grid path whose pipeline config
+    # 8c measures) — round-5 VERDICT item 5: is the pipelined blocked path
+    # now MAC-volume-bound (DMA hidden)?
+    for in_rate, out_rate in [(44100, 132), (44100, 262), (44100, 44)]:
         table, cfg, inc, state, taps = _setup(in_rate, out_rate, p0=0)
         d = inc >> 16
         tstr = strided_table_device(
@@ -353,24 +357,26 @@ def dma_split(lanes=1024):
         x = jnp.asarray(
             rng.integers(-32768, 32768, size=(s_w, lanes)).astype(np.int32))
 
-        results = {}
-        for label, dd in (("real-d", d), ("d=0 (DMA-starved)", 0)):
-            def body(c, dd=dd):
-                out, _ = resample_wide_taps(
-                    table, c, state, max_taps=taps, n_out=n_w, d=dd,
-                    table_strided=tstr)
-                return c.at[0, 0].add(out[0, 0] & 1)
+        for pipe in (None, False, True):
+            results = {}
+            for label, dd in (("real-d", d), ("d=0 (DMA-starved)", 0)):
+                def body(c, dd=dd, pipe=pipe):
+                    out, _ = resample_wide_taps(
+                        table, c, state, max_taps=taps, n_out=n_w, d=dd,
+                        table_strided=tstr, pipeline=pipe)
+                    return c.at[0, 0].add(out[0, 0] & 1)
 
-            st = measure_kernel_time(body, x, n_w * lanes, k1=16, k2=96)
-            results[label] = st.seconds_per_launch
-            print(f"{in_rate}->{out_rate} taps={taps} {label}: "
-                  f"{st.seconds_per_launch*1e3:.3f} ms/launch", flush=True)
-        a, b = results["real-d"], results["d=0 (DMA-starved)"]
-        w = taps + 8
-        span_full = 7 * d + w + 16
-        print(f"  -> span {span_full} vs {w + 16} rows; DMA share of the "
-              f"span delta: {(a - b) / a * 100:.1f}% of launch time",
-              flush=True)
+                st = measure_kernel_time(body, x, n_w * lanes, k1=16, k2=96)
+                results[label] = st.seconds_per_launch
+                print(f"{in_rate}->{out_rate} taps={taps} pipeline={pipe} "
+                      f"{label}: {st.seconds_per_launch*1e3:.3f} ms/launch",
+                      flush=True)
+            a, b = results["real-d"], results["d=0 (DMA-starved)"]
+            w = taps + 8
+            span_full = 7 * d + w + 16
+            print(f"  -> span {span_full} vs {w + 16} rows; DMA share of the "
+                  f"span delta: {(a - b) / a * 100:.1f}% of launch time",
+                  flush=True)
 
 
 def pipeline_timing(lanes=1024):
