@@ -56,15 +56,25 @@ def _kslope(body, carry0, k1=K1, k2=K2, reps=4, min_delta=0.02):
     seconds of wall time, the slope is below this relay's timing jitter —
     quadruple both lengths and remeasure (kernels got fast enough this round
     that fixed K1/K2 produced negative slopes on the quickest configs).
+
+    EVERY leaf of the carry feeds the returned scalar: materializing only
+    one leaf lets XLA's while-loop simplifier DELETE the other chains (and
+    their kernels) from the compiled loop — the round-5 DCE fiction that
+    inflated every multi-chain config ~4x (benchmarks/RESULTS.md round-5
+    methodology correction; tools/probe_chain_dce.py has the proof).
     """
     import jax
+    import jax.numpy as jnp
 
     def make(k):
         @jax.jit
         def chain(c):
             c, _ = jax.lax.scan(lambda cc, _: (body(cc), None), c, None, length=k)
-            leaf = jax.tree_util.tree_leaves(c)[0]
-            return leaf.ravel()[0]
+            leaves = jax.tree_util.tree_leaves(c)
+            acc = jnp.int32(0)
+            for leaf in leaves:
+                acc = acc + jnp.asarray(leaf).ravel()[0].astype(jnp.int32)
+            return acc
 
         return chain
 

@@ -61,14 +61,28 @@ def measure_kernel_time(
     hardware (benchmarks/RESULTS.md, round 2). Serialized one-at-a-time
     timing instead absorbs ~60 ms of per-program relay overhead. The slope
     excludes both.
+
+    EVERY leaf of the carry is folded into the returned scalar. This is
+    load-bearing (round-5 methodology correction #2): returning only one
+    leaf lets XLA's while-loop simplifier delete the OTHER chains' carries
+    — and with them their kernels — from the compiled loop entirely, so a
+    "N independent chains" measurement silently times ONE chain while
+    attributing N chains of samples (verified statically and dynamically,
+    tools/probe_chain_dce.py: 1 vs 4 custom-calls in the optimized HLO,
+    3.85x wall when all four chains are really live).
     """
     import jax
+    import jax.numpy as jnp
 
     def make(k):
         @jax.jit
         def chain(c):
             c, _ = jax.lax.scan(lambda cc, _: (body(cc), None), c, None, length=k)
-            return jax.tree_util.tree_leaves(c)[0].ravel()[0]
+            leaves = jax.tree_util.tree_leaves(c)
+            acc = jnp.int32(0)
+            for l in leaves:
+                acc = acc + jnp.asarray(l).ravel()[0].astype(jnp.int32)
+            return acc
 
         return chain
 
