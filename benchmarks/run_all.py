@@ -522,7 +522,11 @@ def run_config(which: str) -> None:
                     table, ch, st, max_taps=taps, n_out=n_cap, radius=radius,
                     increment=inc, table_strided=tstr, split=split,
                     pipeline=pipeline)
-                return outs[-1, 0, 0], jnp.sum(produced), backlog
+                # materialize EVERY step x EVERY lane (frame 0 of each
+                # chunk): a single outs[-1, 0, 0] leaf lets XLA delete the
+                # other sub-fleets' engines — and every step's output writes
+                # but the last — from the loop (the round-5 DCE fiction)
+                return jnp.sum(outs[:, 0, :]), jnp.sum(produced), backlog
 
             r = go(chunks, state)
             jax.block_until_ready(r)

@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Decide the headline bench launch structure HONESTLY (round 5).
+
+One point per subprocess (relay-poisoning rule), LONG chains (the 8/40
+chains behind tools/probe_lane_scaling.py's first pass produced deltas of
+5-15 ms — inside relay jitter; points moved 1.5-1.9x between runs). Here
+k1/k2 scale until the slope delta clears 60 ms of wall.
+
+Point syntax:  mono:<lanes>[:grp<G>]   |   split:<n>x<w>
+Driver mode (no args): runs the candidate set, each in a subprocess,
+and prints a table.
+
+Usage:
+  python tools/probe_headline_structure.py            # driver sweep
+  python tools/probe_headline_structure.py mono:1024  # one point
+"""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+POINTS = (
+    "mono:512", "mono:1024", "mono:2048", "mono:4096",
+    "split:4x512", "split:2x1024",
+)
+
+
+def run_point(point: str) -> None:
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clownresampler_tpu import fixedpoint as fx
+    from clownresampler_tpu.configure import configure
+    from clownresampler_tpu.lowlevel import make_device_state
+    from clownresampler_tpu.models import DEFAULT_MODEL, lanczos_kernel_table
+    from clownresampler_tpu.ops.pallas_resample import (
+        multi_resample,
+        plan_uniform,
+        resample_uniform_lanes_tiled,
+        strided_table_device,
+    )
+
+    cfg = configure(48000, 44100, 44100)
+    inc = fx.calculate_ratio(48000, 44100)
+    n_out, taps = 8192, 8
+    plan = plan_uniform(inc, n_out)
+    s = -(-((((n_out * inc) >> 16) + 96)) // 16) * 16
+    state = make_device_state(0, 0x4321, cfg, inc)
+    table = jnp.asarray(lanczos_kernel_table())
+    tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
+                                cfg.kernel_step_size, taps)
+    rng = np.random.default_rng(7)
+
+    kind, spec = point.split(":", 1)
+    grp = 32
+    if ":grp" in point:
+        spec, g = spec.split(":grp")
+        grp = int(g)
+    if kind == "mono":
+        lanes = int(spec)
+        x0 = jnp.asarray(rng.integers(
+            -32768, 32768, size=(s, lanes)).astype(np.int32))
+
+        def body(x):
+            out = resample_uniform_lanes_tiled(
+                table, x, state, max_taps=taps, n_out=n_out, d=plan["d"],
+                cand=plan["cand"], table_strided=tstr, group=grp)[0]
+            return x.at[0, 0].add(out[0, 0] & 1)
+
+        carry0, total_lanes = x0, lanes
+    else:
+        n_sub, w = (int(v) for v in spec.split("x"))
+        xs0 = tuple(jnp.asarray(rng.integers(
+            -32768, 32768, size=(s, w)).astype(np.int32))
+            for _ in range(n_sub))
+        plans = tuple(("tiled", plan["d"], plan["cand"], taps, n_out, False)
+                      for _ in range(n_sub))
+        states = tuple(state for _ in range(n_sub))
+        tstrs = tuple(tstr for _ in range(n_sub))
+
+        def body(xs):
+            outs = multi_resample(table, xs, states, plans, tstrs=tstrs)
+            return tuple(x.at[0, 0].add(o[0, 0] & 1)
+                         for x, o in zip(xs, outs))
+
+        carry0, total_lanes = xs0, n_sub * w
+    jax.block_until_ready(jax.tree_util.tree_leaves(carry0))
+
+    def make(k):
+        @jax.jit
+        def chain(c):
+            c, _ = jax.lax.scan(lambda cc, _: (body(cc), None), c, None,
+                                length=k)
+            leaves = jax.tree_util.tree_leaves(c)
+            acc = jnp.int32(0)
+            for leaf in leaves:
+                acc = acc + jnp.asarray(leaf).ravel()[0].astype(jnp.int32)
+            return acc
+
+        return chain
+
+    def best(c, reps=6):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = c(carry0)
+            jax.block_until_ready(r)
+            _ = np.asarray(r)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    k1, k2 = 32, 160
+    while True:
+        c1, c2 = make(k1), make(k2)
+        for c in (c1, c2):
+            r = c(carry0)
+            jax.block_until_ready(r)
+            _ = np.asarray(r)
+        t1, t2 = best(c1), best(c2)
+        if t2 - t1 >= 0.06 or k2 >= 2560:
+            break
+        k1, k2 = k1 * 4, k2 * 4
+    dt = (t2 - t1) / (k2 - k1)
+    rate = n_out * total_lanes / dt / 1e9
+    print(f"{point:18s} k={k1}/{k2}  {dt*1e3:7.3f} ms/step  "
+          f"{rate:7.2f} Gsamples/s  ({rate*1e3/74.9:6.0f}x C)", flush=True)
+
+
+def main() -> None:
+    if len(sys.argv) > 1:
+        run_point(sys.argv[1])
+        return
+    for p in POINTS:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), p],
+                           capture_output=True, text=True, timeout=2400)
+        out = [l for l in (r.stdout + r.stderr).splitlines()
+               if "Gsamples" in l or "Error" in l or "error" in l.lower()]
+        print("\n".join(out) if out else f"{p}: rc={r.returncode}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,9 +60,10 @@ def main(which: str) -> None:
         print(f"{label:26s} {st.seconds_per_launch*1e3:8.3f} ms/step  "
               f"{st.samples_per_second/1e9:7.2f} Gsamples/s", flush=True)
 
-    def sweep(name, make_fn, s_rows, n_out, plan_tuple, tstr_of, state):
+    def sweep(name, make_fn, s_rows, n_out, plan_tuple, tstr_of, state,
+              lane_points=(512, 1024, 2048, 4096)):
         print(f"--- {name}", flush=True)
-        for lanes in (512, 1024, 2048, 4096):
+        for lanes in lane_points:
             x0 = jnp.asarray(rng.integers(
                 -32768, 32768, size=(s_rows, lanes)).astype(np.int32))
             jax.block_until_ready(x0)
@@ -73,24 +74,25 @@ def main(which: str) -> None:
                 return x.at[0, 0].add(out[0, 0] & 1)
 
             run(f"mono {lanes} lanes", body, x0, n_out * lanes)
-        # the old bench structure, all chains LIVE: 4 x 512-lane buffers,
-        # one fused multi_resample program per step
-        n_sub, w = 4, 512
-        xs0 = tuple(jnp.asarray(rng.integers(
-            -32768, 32768, size=(s_rows, w)).astype(np.int32))
-            for _ in range(n_sub))
-        jax.block_until_ready(xs0)
-        plans = tuple(plan_tuple for _ in range(n_sub))
-        states = tuple(state for _ in range(n_sub))
-        tstrs = tuple(tstr_of for _ in range(n_sub)) if tstr_of is not None \
-            else None
+        # split structures, all chains LIVE: n_sub independent w-lane buffers,
+        # one fused multi_resample program per step (4x512 = the old bench)
+        for n_sub, w in ((4, 512), (2, 1024), (4, 1024)):
+            xs0 = tuple(jnp.asarray(rng.integers(
+                -32768, 32768, size=(s_rows, w)).astype(np.int32))
+                for _ in range(n_sub))
+            jax.block_until_ready(xs0)
+            plans = tuple(plan_tuple for _ in range(n_sub))
+            states = tuple(state for _ in range(n_sub))
+            tstrs = tuple(tstr_of for _ in range(n_sub)) \
+                if tstr_of is not None else None
 
-        def body_split(xs):
-            outs = multi_resample(table, xs, states, plans, tstrs=tstrs)
-            return tuple(x.at[0, 0].add(o[0, 0] & 1)
-                         for x, o in zip(xs, outs))
+            def body_split(xs, plans=plans, states=states, tstrs=tstrs):
+                outs = multi_resample(table, xs, states, plans, tstrs=tstrs)
+                return tuple(x.at[0, 0].add(o[0, 0] & 1)
+                             for x, o in zip(xs, outs))
 
-        run("split 4x512 (live)", body_split, xs0, n_out * n_sub * w)
+            run(f"split {n_sub}x{w} (live)", body_split, xs0,
+                n_out * n_sub * w)
 
     if which in ("tiled", "all"):
         cfg = configure(48000, 44100, 44100)
@@ -112,6 +114,20 @@ def main(which: str) -> None:
         sweep("tiled headline 48k->44.1k", make_tiled, s, n_out,
               ("tiled", plan["d"], plan["cand"], taps, n_out, False),
               tstr, state)
+        # group sweep at the fleet width: does a smaller frame group change
+        # the 2048-lane regime (more grid steps, more pipelining)?
+        for grp in (8, 16):
+            x0 = jnp.asarray(rng.integers(
+                -32768, 32768, size=(s, 2048)).astype(np.int32))
+            jax.block_until_ready(x0)
+
+            def body(x, grp=grp):
+                out = resample_uniform_lanes_tiled(
+                    table, x, state, max_taps=taps, n_out=n_out, d=plan["d"],
+                    cand=plan["cand"], table_strided=tstr, group=grp)[0]
+                return x.at[0, 0].add(out[0, 0] & 1)
+
+            run(f"mono 2048 grp {grp}", body, x0, n_out * 2048)
 
     if which in ("strided", "all"):
         cfg = configure(96000, 48000, 96000)
