@@ -25,6 +25,16 @@ the VPU can compute; (b) every dispatched program carries ~60 ms of flat
 relay overhead (dispatch + first D2H), which would swamp the kernel if
 charged to it. The slope excludes the fiction AND the relay tax: it is the
 pure device compute rate, which is what survives on co-located hardware.
+
+Round-5 correction: the chain must MATERIALIZE EVERY carry leaf. Through
+round 4 this bench returned only chain 0's carry, letting XLA's while-loop
+simplifier delete the other 3 sub-fleets' pallas calls from the compiled
+loop (verified statically + dynamically, tools/probe_chain_dce.py) — the
+recorded 999x measured ONE 512-lane sub-fleet while attributing 2048 lanes.
+The honest structure sweep (tools/probe_headline_structure.py) then showed
+independent programs have ~zero device overlap, so the fleet now rides one
+monolithic 2048-lane launch (27.0 Gsamples/s = 361x, vs 21.7 G for the old
+4x512 split form measured honestly).
 """
 
 import json
@@ -110,9 +120,14 @@ def main() -> None:
     LANES_TOTAL = B * CH
     IN_RATE, OUT_RATE = 48000, 44100
     N_OUT = 8192   # frames per kernel invocation (16384 exceeds Mosaic VMEM)
-    SPLIT = 512    # lanes per zero-copy sub-launch (several narrow pallas
-                   # calls overlap per-step latency; K-slope-measured fastest)
-    K1, K2 = 16, 96
+    # ONE monolithic launch carrying the whole fleet: the round-5 honest
+    # structure sweep (tools/probe_headline_structure.py, long chains, one
+    # point per subprocess) measured mono 2048 lanes at 0.621 ms/step =
+    # 27.0 Gsamples/s vs 21.7 for the 4x512 split structure the dead-carry
+    # era shipped — independent pallas programs have ~zero device overlap
+    # (tools/probe_chain_dce.py), so splitting only adds per-launch cost.
+    SPLIT = 2048
+    K1, K2 = 32, 192
     # Smoke mode off-TPU: Pallas only interprets on CPU, so run the same
     # dispatch path in interpret mode at token shapes (proves the path; the
     # printed rate is meaningless there and the JSON says so).
@@ -131,10 +146,9 @@ def main() -> None:
     s = -(-s // 16) * 16
     rng = np.random.default_rng(0)
     # ALL host->device transfers happen before the first execution. The fleet
-    # is staged as independent SPLIT-lane sub-buffers: each sub-fleet's chain
-    # depends only on its own previous output, so independent chains can use
-    # whatever kernel-level concurrency the device has (measured ~2x vs one
-    # monolithic chain) while each chain stays strictly serialized.
+    # rides ONE SPLIT-lane staging buffer per chain (SPLIT = LANES_TOTAL on
+    # TPU): the lane-tile axis pipelines on the kernel grid, which is the
+    # only launch-level concurrency this device really has.
     table = jnp.asarray(lanczos_kernel_table())
     n_sub = LANES_TOTAL // SPLIT
     xs0 = tuple(
@@ -144,8 +158,12 @@ def main() -> None:
     state = make_device_state(0, 0x4321, cfg, inc)
     jax.block_until_ready([table, *xs0])
 
+    # group=32 pinned: the monolithic launch at group 8 measures 0.776
+    # ms/step vs 0.621 at group 32 (the "fleets prefer group 8" rule was a
+    # dead-carry-era artifact; N_OUT % 256 == 0 holds in both modes)
     plans = tuple(
-        ("tiled", plan["d"], plan["cand"], max_taps, N_OUT, False)
+        ("tiled", plan["d"], plan["cand"], max_taps, N_OUT, False,
+         None, 0, 32)
         for _ in range(n_sub)
     )
     states = tuple(state for _ in range(n_sub))
@@ -159,17 +177,24 @@ def main() -> None:
         outs = multi_resample(table, xs, states, plans, tstrs=tstrs,
                               interpret=interpret)
         # feed one non-foldable output bit of every sub-launch into ITS OWN
-        # next input: true per-chain serialization, no cross-chain barrier,
-        # and dead-code elimination is impossible
+        # next input: true per-chain serialization, no cross-chain barrier
         return tuple(
             x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs)
-        ), outs[0][0, 0]
+        ), None
 
     def make_chain(k):
         @jax.jit
         def chain(xs):
-            xs, lasts = jax.lax.scan(body, xs, None, length=k)
-            return xs[0][0, 0], lasts
+            xs, _ = jax.lax.scan(body, xs, None, length=k)
+            # EVERY chain's carry feeds the returned scalar: materializing
+            # only xs[0] lets XLA's while-loop simplifier DELETE the other
+            # chains (and their pallas calls) from the compiled loop — the
+            # round-5 DCE fiction that inflated the recorded headline ~4x
+            # (tools/probe_chain_dce.py has the static + dynamic proof).
+            acc = jnp.int32(0)
+            for x in xs:
+                acc = acc + x[0, 0]
+            return acc
 
         return chain
 
@@ -179,7 +204,7 @@ def main() -> None:
             t0 = time.perf_counter()
             r = chain(xs0)
             jax.block_until_ready(r)
-            _ = np.asarray(r[0])       # real completion, not just the ack
+            _ = np.asarray(r)          # real completion, not just the ack
             ts.append(time.perf_counter() - t0)
         return ts
 
@@ -187,7 +212,7 @@ def main() -> None:
     for c in (chain1, chain2):        # compile + warm both programs
         r = c(xs0)
         jax.block_until_ready(r)
-        _ = np.asarray(r[0])
+        _ = np.asarray(r)
 
     t1s, t2s = timed(chain1), timed(chain2)
     per_kernel_best = (min(t2s) - min(t1s)) / (K2 - K1)

@@ -53,11 +53,16 @@ MAX_LAUNCH_OUTPUT_FRAMES = 1 << 14
 # beyond this row count route to the XLA gather oracle instead.
 VMEM_SAFE_INPUT_ROWS = 12288
 
-# Wide fleets split into ~this many lanes per sub-launch (zero-copy column
-# slices of the same staging buffer, fused into one program): several narrow
-# pallas calls overlap their per-grid-step latencies and measure ~1.3-1.7x
-# faster than one wide launch (benchmarks/RESULTS.md, K-slope probes).
-LANE_SPLIT = 512
+# Fleets stay in ONE launch up to this many lanes. Round-5 honest structure
+# sweep (tools/probe_headline_structure.py — the earlier "narrow sub-launches
+# overlap and win 1.3-1.7x" was the dead-carry DCE fiction, see
+# benchmarks/RESULTS.md round-5 correction): per-launch time grows
+# SUBLINEARLY in lanes up to 2048 (mono 512/1024/2048 = 0.182/0.329/0.621
+# ms for the headline shape — the lane-tile axis pipelines on the grid) and
+# superlinearly past it (4096: 1.378 ms), while split structures at equal
+# total lanes are strictly slower (4x512: 0.772, 2x1024: 0.797). So slice
+# only fleets wider than 2048 lanes, at 2048 per slice.
+LANE_SPLIT = 2048
 
 
 def compute_lane_slices(lanes: int, max_taps: int, capacity: int) -> list:
