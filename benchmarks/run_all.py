@@ -246,9 +246,11 @@ def run_config(which: str) -> None:
             }), flush=True)
 
     elif which == "2":
-        # polyphase strided Pallas kernel (fused variant), split-chain fleet:
-        # 4 independent 512-lane sub-buffers as in the headline bench / the
-        # farm's LANE_SPLIT staging (independent chains overlap on device).
+        # polyphase strided Pallas kernel (fused variant). Round-5 honest
+        # structure (tools/probe_headline_structure.py long chains): the
+        # strided class runs two fused 1024-lane launches on independent
+        # buffers at exactly 2x the mono-1024 time (0.365 ms vs mono-2048's
+        # 0.495) — the farm's STRIDED_LANE_SPLIT staging.
         from clownresampler_tpu import fixedpoint as fx
         from clownresampler_tpu.configure import configure
         from clownresampler_tpu.lowlevel import make_device_state
@@ -266,7 +268,7 @@ def run_config(which: str) -> None:
         s = (n_out - 8 * 32) * d + strided_phase_padding(max_taps, d, 32) + 64
         s = -(-s // 16) * 16
         assert choose_strided_plan(s, d, n_out, max_taps) == ("fused", 32), (s, d)
-        n_sub, split = 4, 512
+        n_sub, split = 2, 1024
         xs0 = tuple(
             jnp.asarray(rng.integers(-32768, 32768, size=(s, split)).astype(np.int32))
             for _ in range(n_sub)
@@ -281,19 +283,19 @@ def run_config(which: str) -> None:
             outs = multi_resample(table, xs, states, plans)
             return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
 
-        _report("config2 stereo 96k->48k 2:1 x1024 streams (polyphase Pallas, 4 split chains)",
+        _report("config2 stereo 96k->48k 2:1 x1024 streams (polyphase Pallas, 2x1024-lane fused launches)",
                 n_out * n_sub * split, _kslope(body, xs0), 54.0)
 
     elif which == "3":
-        # split-chain fleet (same methodology as the headline and config 2:
-        # independent sub-fleet staging buffers whose chains overlap on
-        # device, as the farm's LANE_SPLIT staging does natively)
+        # monolithic fleet launch (round-5 honest structure: split chains
+        # have ~zero device overlap and strictly lose to one launch —
+        # tools/probe_headline_structure.py); group 32 as the headline
         from clownresampler_tpu.ops.pallas_resample import (
             multi_resample,
             plan_uniform,
         )
 
-        n_sub, split = 4, 256
+        lanes3 = 1024
         from clownresampler_tpu import fixedpoint as fx
         from clownresampler_tpu.configure import configure
         from clownresampler_tpu.lowlevel import make_device_state
@@ -302,25 +304,22 @@ def run_config(which: str) -> None:
         plan = plan_uniform(inc, n_out_default)
         taps = -(-2 * cfg.integer_stretched_kernel_radius // 8) * 8
         s3 = env["input_rows"](cfg, inc, plan, taps, n_out_default)
-        xs0 = tuple(jnp.asarray(
-            rng.integers(-32768, 32768, size=(s3, split)).astype(np.int32))
-            for _ in range(n_sub))
+        x0 = jnp.asarray(
+            rng.integers(-32768, 32768, size=(s3, lanes3)).astype(np.int32))
         state = make_device_state(0, 0x4321, cfg, inc)
-        jax.block_until_ready(xs0)
-        plans = tuple((plan["kernel"], plan["d"], plan["cand"], taps,
-                       n_out_default, False) for _ in range(n_sub))
-        states = tuple(state for _ in range(n_sub))
+        jax.block_until_ready(x0)
+        plans = ((plan["kernel"], plan["d"], plan["cand"], taps,
+                  n_out_default, False, None, 0, 32),)
         from clownresampler_tpu.models import DEFAULT_MODEL as _M
         from clownresampler_tpu.ops.pallas_resample import strided_table_device as _std
-        tstrs3 = tuple(_std(_M.radius, _M.resolution, cfg.kernel_step_size, taps)
-                       for _ in range(n_sub))
+        tstrs3 = (_std(_M.radius, _M.resolution, cfg.kernel_step_size, taps),)
 
-        def body(xs):
-            outs = multi_resample(table, xs, states, plans, tstrs=tstrs3)
-            return tuple(x.at[0, 0].add(o[0, 0] & 1) for x, o in zip(xs, outs))
+        def body(x):
+            outs = multi_resample(table, (x,), (state,), plans, tstrs=tstrs3)
+            return x.at[0, 0].add(outs[0][0, 0] & 1)
 
-        _report("config3 mono 8k->48k upsample x1024 streams (4 split chains)",
-                n_out_default * n_sub * split, _kslope(body, xs0), 45.5)
+        _report("config3 mono 8k->48k upsample x1024 streams (one monolithic launch)",
+                n_out_default * lanes3, _kslope(body, x0), 45.5)
 
     elif which == "4":
         # pitch bend: ONE farm whose ratio is adjusted EVERY chunk across the

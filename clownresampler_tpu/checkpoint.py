@@ -147,7 +147,8 @@ def load_farm(d: dict[str, Any], mesh=None) -> UniformStreamFarm:
     from clownresampler_tpu.farm import compute_lane_slices
 
     farm._lane_slices = compute_lane_slices(
-        farm._lanes, farm._max_taps, farm._capacity
+        farm._lanes, farm._max_taps, farm._capacity,
+        increment=farm.increment,
     )
     if farm._device_staging:
         farm._staging = tuple(

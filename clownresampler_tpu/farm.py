@@ -56,24 +56,42 @@ VMEM_SAFE_INPUT_ROWS = 12288
 # Fleets stay in ONE launch up to this many lanes. Round-5 honest structure
 # sweep (tools/probe_headline_structure.py — the earlier "narrow sub-launches
 # overlap and win 1.3-1.7x" was the dead-carry DCE fiction, see
-# benchmarks/RESULTS.md round-5 correction): per-launch time grows
-# SUBLINEARLY in lanes up to 2048 (mono 512/1024/2048 = 0.182/0.329/0.621
-# ms for the headline shape — the lane-tile axis pipelines on the grid) and
-# superlinearly past it (4096: 1.378 ms), while split structures at equal
-# total lanes are strictly slower (4x512: 0.772, 2x1024: 0.797). So slice
-# only fleets wider than 2048 lanes, at 2048 per slice.
+# benchmarks/RESULTS.md round-5 correction): for the TILED class per-launch
+# time grows SUBLINEARLY in lanes up to 2048 (mono 512/1024/2048 =
+# 0.182/0.329/0.621 ms for the headline shape — the lane-tile axis pipelines
+# on the grid) and superlinearly past it (4096: 1.378 ms), while split
+# structures at equal total lanes are strictly slower (4x512: 0.772,
+# 2x1024: 0.797). The POLYPHASE STRIDED class inverts: mono 2048 runs 0.495
+# ms vs 0.365 for two fused 1024-lane launches on independent buffers
+# (2 x the mono-1024 time exactly — zero fusion overhead), so strided-class
+# farms slice at 1024. Shared-buffer column slices are strictly worse for
+# both classes (0.722-1.173 ms) — the split must be independent buffers.
 LANE_SPLIT = 2048
+STRIDED_LANE_SPLIT = 1024
 
 
-def compute_lane_slices(lanes: int, max_taps: int, capacity: int) -> list:
+def compute_lane_slices(lanes: int, max_taps: int, capacity: int,
+                        increment: int | None = None) -> list:
     """[(width, offset), ...] of the independent staging sub-buffers for a
-    fleet of ``lanes`` lanes (see LANE_SPLIT; wide-kernel farms — the DMA
-    kernel reads HBM directly — and VMEM-unsafe oracle-routed capacities
-    stay unsplit)."""
+    fleet of ``lanes`` lanes (see LANE_SPLIT/STRIDED_LANE_SPLIT — the slice
+    width is chosen by the ratio class of ``increment`` at farm-init /
+    checkpoint-restore time; wide-kernel farms — the DMA kernel reads HBM
+    directly — and VMEM-unsafe oracle-routed capacities stay unsplit).
+    A farm later re-rated across classes keeps its slicing: correctness is
+    unaffected (lanes are independent), only the launch structure is the
+    other class's second-best."""
+    split_at = LANE_SPLIT
+    if (
+        increment is not None
+        and max_taps <= FAST_KERNEL_MAX_TAPS
+        and (increment & 0xFFFF) == 0
+        and (increment >> 16) >= 2
+    ):
+        split_at = STRIDED_LANE_SPLIT
     use_oracle = max_taps > FAST_KERNEL_MAX_TAPS or capacity > VMEM_SAFE_INPUT_ROWS
-    if use_oracle or lanes <= LANE_SPLIT:
+    if use_oracle or lanes <= split_at:
         return [(lanes, 0)]
-    n_splits = -(-lanes // LANE_SPLIT)
+    n_splits = -(-lanes // split_at)
     per = -(-(lanes // LANES) // n_splits) * LANES
     slices = []
     off = 0
@@ -202,13 +220,14 @@ class UniformStreamFarm:
             assert capacity_rows >= 2 * radius_bound + chunk_frames, capacity_rows
             self._capacity = capacity_rows
 
-        # Lane splits: wide fleets stage into INDEPENDENT <=LANE_SPLIT-wide
-        # buffers. Each sub-fleet's launches then form their own dependency
-        # chain, letting the device overlap kernels across sub-fleets
-        # (measured ~2x vs one monolithic buffer, benchmarks/RESULTS.md);
-        # oracle-routed farms stay unsplit (the gather reads all lanes).
+        # Lane slicing: monolithic staging up to the class's measured best
+        # launch width (LANE_SPLIT for tiled/general, STRIDED_LANE_SPLIT for
+        # the polyphase strided class — round-5 honest structure sweep);
+        # wider fleets stage into independent slice buffers. Oracle-routed
+        # farms stay unsplit (the gather reads all lanes).
         self._lane_slices = (
-            compute_lane_slices(self._lanes, self._max_taps, self._capacity)
+            compute_lane_slices(self._lanes, self._max_taps, self._capacity,
+                                increment=self.increment)
             if split_lanes
             else [(self._lanes, 0)]
         )
@@ -374,9 +393,12 @@ class UniformStreamFarm:
             if kind == "tiled" and self._capacity > VMEM_SAFE_INPUT_ROWS:
                 kind, d, cand = "oracle", None, None  # Mosaic VMEM safety
             step = MAX_LAUNCH_OUTPUT_FRAMES
-        # Padding granularity per kernel: tiled needs 8*group=64, the
-        # general and polyphase strided kernels 8*group=256 (the fastest
-        # measured group), the XLA strided path and the oracle only 8.
+        # Padding granularity per kernel: tiled needs 8*group (64 for small
+        # emits, 256 once a tile can carry group 32 — the round-5 honest
+        # group sweep measured 32 at 0.615 ms vs 8 at 0.776 on the 2048-lane
+        # headline launch; "fleets prefer 8" was a dead-carry-era artifact),
+        # the general and polyphase strided kernels 8*group=256, the XLA
+        # strided path and the oracle only 8.
         grain = {"tiled": 64, "strided": 256, "strided_xla": 8,
                  "general": 256, "wide": 8, "oracle": 8}[kind]
         # Staging keeps a fixed R_BOUND-row left halo; the C window contract
@@ -409,16 +431,17 @@ class UniformStreamFarm:
         done = 0
         while done < n_out:
             tile = min(n_out - done, step)
-            n_pad = fx.round_up(max(tile, grain), grain)
+            grain_t = 256 if kind == "tiled" and tile >= 1024 else grain
+            n_pad = fx.round_up(max(tile, grain_t), grain_t)
             t = self.position_fractional + done * self.increment
             p0 = self.position_integer + (t >> 16) + halo_shift
             f0 = t & 0xFFFF
             state = make_device_state(p0, f0, self.config, self.increment)
+            plan_t = (kind, d, cand, taps_launch, n_pad, self.clamp_s16)
+            if kind == "tiled" and n_pad % 256 == 0:
+                plan_t = plan_t + (None, 0, 32)
             for split_idx in range(len(self._lane_slices)):
-                specs.append((
-                    tile, split_idx, state,
-                    (kind, d, cand, taps_launch, n_pad, self.clamp_s16),
-                ))
+                specs.append((tile, split_idx, state, plan_t))
             done += tile
         return specs, len(self._lane_slices)
 

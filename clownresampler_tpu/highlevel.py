@@ -232,8 +232,8 @@ class HighLevelResampler:
         host arithmetic (f0 + m*increment), so the reference's sequential
         chunk loop (clownresampler.h:1120-1176 + 1242-1250, incl. the
         ResampleEnd zero-flush) collapses into independent batch launches
-        that the device overlaps — whole-stream throughput at batch-mode
-        speed instead of the serialized chunk-scan rate
+        with no carried state — whole-stream throughput at batch-mode speed
+        because the scan's per-step fixed costs disappear
         (lowlevel._compute_frames batched dispatch; incremental chunked
         streams without the full input in hand keep resample_scan_fused).
         Output bytes are identical to the host chunk loop
@@ -297,11 +297,12 @@ class HighLevelResampler:
         path emits for an N-frame stream with automatic edge padding
         (== LowLevel over a radius-padded buffer, SURVEY.md section 4
         finding 1). LowLevel's batched tile dispatch
-        (lowlevel._compute_frames_batched) then launches the tiles as
-        independent device programs that overlap on device, so the whole
-        stream runs at batch-mode throughput — including kernels past the
-        fast-path width guard, which the old fused-scan bulk path had to
-        decline (its engines were VMEM-resident only).
+        (lowlevel._compute_frames_batched) then launches the tiles fused
+        TILE_LAUNCH_GROUP per device program (amortizing the flat dispatch
+        floor), so the whole stream runs at batch-mode throughput —
+        including kernels past the fast-path width guard, which the old
+        fused-scan bulk path had to decline (its engines were VMEM-resident
+        only).
 
         Returns (out, replay_callback). ``out`` is None when the bulk path
         declines (empty streams, streams past the device budget);

@@ -517,10 +517,12 @@ def resample_scan_tiled(
 OutputCallback = Callable[[np.ndarray], bool]
 
 # Independent tile launches fused per device program by the batched tile
-# dispatcher (_compute_frames): 4 independent dependency-free launches per
-# program is the measured device-concurrency sweet spot (the LANE_SPLIT
-# finding, benchmarks/RESULTS.md — independent chains overlap ~1.7-2.4x one
-# serialized chain; wider groups only grow program size).
+# dispatcher (_compute_frames). Fusing amortizes the flat per-program
+# dispatch cost (~25-35 us, tools/probe_launch_overhead.py) — NOT kernel
+# overlap: the round-5 DCE audit showed independent pallas programs have
+# ~zero device concurrency (tools/probe_chain_dce.py; the earlier
+# "~1.7-2.4x overlap" was measured on chains XLA had dead-code-eliminated).
+# 4 per program keeps program size and compile time bounded.
 TILE_LAUNCH_GROUP = 4
 
 
@@ -584,10 +586,11 @@ def _grouped_packed_launch(table, xs, f0s, cfg, plans, tstrs, ch, interpret=Fals
     Outputs are trimmed back to ``ch`` lanes before they leave the program,
     so device->host traffic is equally narrow.
 
-    The group's launches share no data, so the device overlaps them
-    (independent dependency chains, benchmarks/RESULTS.md) — this is what
-    makes whole-stream bulk resampling run at batch speed rather than the
-    serialized chunk-scan rate.
+    The group's launches share no data and fuse into one program, paying one
+    ~25-35 us dispatch floor instead of TILE_LAUNCH_GROUP of them; bulk
+    streaming runs at batch speed because the closed-form segments skip the
+    scan's per-step fixed costs entirely (benchmarks/RESULTS.md round 5 —
+    the launches do NOT overlap on device; that was the dead-carry fiction).
     """
     from clownresampler_tpu.ops.pallas_resample import multi_resample
 
@@ -638,7 +641,7 @@ class LowLevelResampler:
     # whose tiles exceed the budget run as several sequential cycles, so a
     # direct resample() call over an arbitrarily long input keeps a bounded
     # device footprint (the guarantee the old one-tile-at-a-time dispatch
-    # gave) while tiles within each cycle still overlap on device.
+    # gave) while each cycle still amortizes program dispatch via fusing.
     BATCH_DEVICE_BUDGET_BYTES = 2 << 30
 
     @classmethod
@@ -812,10 +815,11 @@ class LowLevelResampler:
                 tile = min(tile, max_tile_frames)
                 grain = {"tiled": 64, "strided": 256, "general": 128}[plan["kernel"]]
                 if plan["kernel"] in ("tiled", "general") and tile >= 1024:
-                    # Bigger frame groups per grid step are ~27% (tiled) /
-                    # ~12% (general) faster for a SINGLE launch (fewer
-                    # per-step latencies); overlapped fleet TILED launches
-                    # prefer the small default (farm paths).
+                    # Bigger frame groups per grid step are ~26% (tiled) /
+                    # ~12% (general) faster (fewer per-step latencies);
+                    # round 5 re-measured this honestly for fleet-width
+                    # launches too (0.615 vs 0.776 ms at 2048 lanes), so
+                    # every >=1024-frame tile takes the 256 grain.
                     grain = 256
                 n_pad = fx.round_up(tile, grain)
                 # Row window [p0, p0 + rows), zero-padded past the stream end;
@@ -858,9 +862,11 @@ class LowLevelResampler:
             done += tile
 
         # ---- batched dispatch: several independent tiles fused per device
-        # program (they overlap on device — whole-stream bulk resampling at
-        # batch speed), with all uploads before the launch stream and all
-        # downloads after it (the relay's transfer/execute discipline).
+        # program (amortizing the per-program dispatch floor; bulk streaming
+        # reaches batch speed by skipping scan per-step costs, not by
+        # launch overlap — round-5 correction), with all uploads before the
+        # launch stream and all downloads after it (the relay's
+        # transfer/execute discipline).
         if (use_fast or use_wide) and len(descs) > 1:
             kind = plan["kernel"] if use_fast else "wide"
             if use_wide:
@@ -996,11 +1002,11 @@ class LowLevelResampler:
         """Launch many independent tiles, TILE_LAUNCH_GROUP per device program.
 
         Bit-equal to the sequential per-tile path (same windows, same rebased
-        states, same kernels — only the program packaging differs), but the
-        grouped launches are dependency-free so the device overlaps them
-        (~1.7-2.4x one serialized chain, benchmarks/RESULTS.md), and the
-        int16/ch-lane packing in _grouped_packed_launch keeps host traffic at
-        stream width instead of the kernels' 128-lane int32 tiles. Transfer
+        states, same kernels — only the program packaging differs): grouping
+        pays one ~25-35 us dispatch floor per TILE_LAUNCH_GROUP tiles, and
+        the int16/ch-lane packing in _grouped_packed_launch keeps host
+        traffic at stream width instead of the kernels' 128-lane int32
+        tiles. Transfer
         discipline: windows and phases are uploaded before their cycle's
         first launch and downloaded after its last one; streams past
         BATCH_DEVICE_BUDGET_BYTES run as several such cycles (see the class
@@ -1010,9 +1016,9 @@ class LowLevelResampler:
         interp = self.interpret
         state0 = make_device_state(0, 0, self.config, self.increment)
         plan_of = {
-            # group=32 for 256-grain tiles mirrors the sequential path and is
-            # ~16% faster than the fleet default 8 even though the group's
-            # launches overlap (measured on hardware at the full-tile shape).
+            # group=32 for 256-grain tiles mirrors the sequential path
+            # (round-5 honest sweep: 32 beats 8 everywhere a tile can carry
+            # it — "fleets prefer 8" was a dead-carry-era artifact).
             "tiled": lambda n_pad: ("tiled", self.increment >> 16,
                                     cand, taps,
                                     n_pad, False, None, 0,

@@ -269,9 +269,11 @@ def resample_uniform_lanes_tiled(
     The caller must pad x so that every tile's aligned window fits:
     S >= ((max_row & ~7) + window_rows_needed(max_taps, d, cand)).
     ``lanes``/``lane_offset`` run the launch over a column slice of x with no
-    copy (the lane-tile grid starts at lane_offset; measured: several narrow
-    sub-launches inside one program outperform one wide launch ~1.3-1.7x
-    because per-grid-step latency overlaps across pallas calls).
+    copy (the lane-tile grid starts at lane_offset). NOTE (round-5 honest
+    structure sweep): column-slice sub-launches are STRICTLY SLOWER than one
+    full-width launch (the earlier ~1.3-1.7x overlap claim was the
+    dead-carry DCE fiction) — the fields exist for ragged fleets whose
+    slices genuinely differ, not as a performance lever.
     Returns (out (n_out, lanes or L) int32, rows (n_out,)).
     """
     assert d in (0, 1)
@@ -1421,15 +1423,15 @@ def multi_resample(table, xs: tuple, states: tuple, plans: tuple,
     (kind, d, cand, max_taps, n_out, clamp_s16[, lanes, lane_offset[, group]])
     with kind in {"tiled", "strided", "strided_xla", "general", "wide",
     "oracle"}; the optional trailing ``group`` overrides the tiled kernel's
-    frame-tiles per grid step (the batched tile dispatch passes 32 for
-    256-grain tiles — ~16% faster even when the group's launches overlap,
-    measured on hardware; fleet callers keep the default 8). xs[i]/states[i]
-    are
-    that launch's input block and phase state. The optional
-    (lanes, lane_offset) pair runs the launch over a column slice of xs[i]
-    with no copy — splitting a wide fleet into several ~512-lane sub-launches
-    of the SAME buffer inside one program measures ~1.3-1.7x faster than one
-    wide launch (per-grid-step latency overlaps across the pallas calls).
+    frame-tiles per grid step (dispatchers pass 32 whenever the tile
+    carries it — the round-5 honest sweep measured 32 at 0.615 ms vs the
+    old fleet default 8 at 0.776 on the 2048-lane headline launch).
+    xs[i]/states[i] are that launch's input block and phase state. The
+    optional (lanes, lane_offset) pair runs the launch over a column slice
+    of xs[i] with no copy — for ragged fleets; round-5 honest measurement
+    shows shared-buffer column-slice sub-launches are strictly slower than
+    one full-width launch (0.722-1.173 ms vs 0.495 for the strided shape;
+    the old ~1.3-1.7x overlap claim was the dead-carry DCE fiction).
     Returns a tuple of outputs.
 
     Why this exists: dispatching a compiled program costs a flat ~25-35 us in

@@ -13,8 +13,8 @@ pure data parallelism with ZERO collectives:
 * the kernel launch runs under ``shard_map``: each device executes the
   plan-specialised Pallas kernel (ops/pallas_resample.py) on its own lane
   slice with the replicated scalar phase state and LUT — the same
-  "independent sub-fleet buffers" structure the single-chip farm uses for
-  launch overlap (farm.LANE_SPLIT), here realised as one buffer per chip;
+  independent-buffer slicing the single-chip farm uses past its per-launch
+  width bound (farm.LANE_SPLIT), here realised as one buffer per chip;
 * all host bookkeeping (positions, halo slide, natural counts) is inherited
   unchanged, so outputs are bit-exact vs the single-device farm and
   transitively vs the C reference per stream (tests/test_sharded_farm.py).

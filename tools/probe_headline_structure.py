@@ -11,8 +11,10 @@ Driver mode (no args): runs the candidate set, each in a subprocess,
 and prints a table.
 
 Usage:
-  python tools/probe_headline_structure.py            # driver sweep
-  python tools/probe_headline_structure.py mono:1024  # one point
+  python tools/probe_headline_structure.py                    # tiled sweep
+  python tools/probe_headline_structure.py mono:1024          # one point
+  python tools/probe_headline_structure.py strided            # strided sweep
+  python tools/probe_headline_structure.py mono:2048 strided  # one point
 """
 
 import os
@@ -27,7 +29,7 @@ POINTS = (
 )
 
 
-def run_point(point: str) -> None:
+def run_point(point: str, cls: str = "tiled") -> None:
     import time
 
     import jax
@@ -41,19 +43,31 @@ def run_point(point: str) -> None:
     from clownresampler_tpu.ops.pallas_resample import (
         multi_resample,
         plan_uniform,
-        resample_uniform_lanes_tiled,
+        strided_phase_padding,
         strided_table_device,
     )
 
-    cfg = configure(48000, 44100, 44100)
-    inc = fx.calculate_ratio(48000, 44100)
-    n_out, taps = 8192, 8
-    plan = plan_uniform(inc, n_out)
-    s = -(-((((n_out * inc) >> 16) + 96)) // 16) * 16
+    if cls == "tiled":
+        cfg = configure(48000, 44100, 44100)
+        inc = fx.calculate_ratio(48000, 44100)
+        n_out, taps = 8192, 8
+        plan = plan_uniform(inc, n_out)
+        s = -(-((((n_out * inc) >> 16) + 96)) // 16) * 16
+        plan_t = ("tiled", plan["d"], plan["cand"], taps, n_out, False)
+    else:  # strided (config 2 shape)
+        cfg = configure(96000, 48000, 96000)
+        inc = fx.calculate_ratio(96000, 48000)
+        d = inc >> 16
+        n_out, taps = 4096, 16
+        s = (n_out - 8 * 32) * d + strided_phase_padding(taps, d, 32) + 64
+        s = -(-s // 16) * 16
+        plan_t = ("strided", d, None, taps, n_out, False)
     state = make_device_state(0, 0x4321, cfg, inc)
     table = jnp.asarray(lanczos_kernel_table())
-    tstr = strided_table_device(DEFAULT_MODEL.radius, DEFAULT_MODEL.resolution,
-                                cfg.kernel_step_size, taps)
+    tstr = (strided_table_device(DEFAULT_MODEL.radius,
+                                 DEFAULT_MODEL.resolution,
+                                 cfg.kernel_step_size, taps)
+            if cls == "tiled" else None)
     rng = np.random.default_rng(7)
 
     kind, spec = point.split(":", 1)
@@ -61,34 +75,41 @@ def run_point(point: str) -> None:
     if ":grp" in point:
         spec, g = spec.split(":grp")
         grp = int(g)
+    shared_offsets = None
     if kind == "mono":
         lanes = int(spec)
-        x0 = jnp.asarray(rng.integers(
-            -32768, 32768, size=(s, lanes)).astype(np.int32))
-
-        def body(x):
-            out = resample_uniform_lanes_tiled(
-                table, x, state, max_taps=taps, n_out=n_out, d=plan["d"],
-                cand=plan["cand"], table_strided=tstr, group=grp)[0]
-            return x.at[0, 0].add(out[0, 0] & 1)
-
-        carry0, total_lanes = x0, lanes
+        xs0 = (jnp.asarray(rng.integers(
+            -32768, 32768, size=(s, lanes)).astype(np.int32)),)
+        n_sub, w = 1, lanes
+    elif kind == "shared":
+        # n_sub zero-copy COLUMN SLICES of one shared buffer, fused into one
+        # program via the plan's (lanes, lane_offset) fields
+        n_sub, w = (int(v) for v in spec.split("x"))
+        buf = jnp.asarray(rng.integers(
+            -32768, 32768, size=(s, n_sub * w)).astype(np.int32))
+        xs0 = tuple(buf for _ in range(n_sub))
+        shared_offsets = tuple(i * w for i in range(n_sub))
     else:
         n_sub, w = (int(v) for v in spec.split("x"))
         xs0 = tuple(jnp.asarray(rng.integers(
             -32768, 32768, size=(s, w)).astype(np.int32))
             for _ in range(n_sub))
-        plans = tuple(("tiled", plan["d"], plan["cand"], taps, n_out, False)
-                      for _ in range(n_sub))
-        states = tuple(state for _ in range(n_sub))
-        tstrs = tuple(tstr for _ in range(n_sub))
+    plans = tuple(
+        (plan_t[:6]
+         + ((w, shared_offsets[i]) if shared_offsets is not None
+            else (None, 0))
+         + ((grp,) if cls == "tiled" else ()))
+        for i in range(n_sub)
+    )
+    states = tuple(state for _ in range(n_sub))
+    tstrs = tuple(tstr for _ in range(n_sub)) if tstr is not None else None
 
-        def body(xs):
-            outs = multi_resample(table, xs, states, plans, tstrs=tstrs)
-            return tuple(x.at[0, 0].add(o[0, 0] & 1)
-                         for x, o in zip(xs, outs))
+    def body(xs):
+        outs = multi_resample(table, xs, states, plans, tstrs=tstrs)
+        return tuple(x.at[0, 0].add(o[0, 0] & 1)
+                     for x, o in zip(xs, outs))
 
-        carry0, total_lanes = xs0, n_sub * w
+    carry0, total_lanes = xs0, n_sub * w
     jax.block_until_ready(jax.tree_util.tree_leaves(carry0))
 
     def make(k):
@@ -127,17 +148,24 @@ def run_point(point: str) -> None:
         k1, k2 = k1 * 4, k2 * 4
     dt = (t2 - t1) / (k2 - k1)
     rate = n_out * total_lanes / dt / 1e9
-    print(f"{point:18s} k={k1}/{k2}  {dt*1e3:7.3f} ms/step  "
-          f"{rate:7.2f} Gsamples/s  ({rate*1e3/74.9:6.0f}x C)", flush=True)
+    anchor = 74.9 if cls == "tiled" else 54.0
+    print(f"{cls}:{point:18s} k={k1}/{k2}  {dt*1e3:7.3f} ms/step  "
+          f"{rate:7.2f} Gsamples/s  ({rate*1e3/anchor:6.0f}x C)", flush=True)
 
 
 def main() -> None:
-    if len(sys.argv) > 1:
-        run_point(sys.argv[1])
+    args = sys.argv[1:]
+    cls = "tiled"
+    if args and args[-1] in ("tiled", "strided"):
+        cls = args[-1]
+        args = args[:-1]
+    if args:
+        run_point(args[0], cls)
         return
     for p in POINTS:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__), p],
-                           capture_output=True, text=True, timeout=2400)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), p, cls],
+            capture_output=True, text=True, timeout=2400)
         out = [l for l in (r.stdout + r.stderr).splitlines()
                if "Gsamples" in l or "Error" in l or "error" in l.lower()]
         print("\n".join(out) if out else f"{p}: rc={r.returncode}", flush=True)
