@@ -493,13 +493,12 @@ def run_config(which: str) -> None:
         from clownresampler_tpu.ops.pallas_resample import strided_table_device
 
         in_rate, out_rate, lanes, n_in = 44100, 8000, 2048, 8192
-        # independent sub-fleet carries inside the scan (VERDICT r2 item 1):
-        # within a step the sub-fleet kernels overlap. 4 (512-lane fleets)
-        # measured best; CR_SCAN_SPLIT overrides for probes.
-        split = int(os.environ.get("CR_SCAN_SPLIT", "4"))
-        # Double-buffered staging (VERDICT r3 item 5): step t's engine runs
-        # on the buffer staged at t-1 while t+1's buffer stages — the
-        # stage/engine chains are independent inside each iteration.
+        # Round-5 honest split x pipeline matrix: all six points inside
+        # 4,029-4,432 Msamples/s (145-164x) with no coherent ordering —
+        # scan structure is window noise, so the library defaults to the
+        # simplest form (split=1). CR_SCAN_SPLIT/CR_SCAN_PIPELINE override
+        # for probes.
+        split = int(os.environ.get("CR_SCAN_SPLIT", "1"))
         pipeline = os.environ.get("CR_SCAN_PIPELINE", "1") != "0"
         cfg = configure(in_rate, out_rate, in_rate)
         inc = fx.calculate_ratio(in_rate, out_rate)
@@ -545,7 +544,7 @@ def run_config(which: str) -> None:
         t2, p2 = run_k(k2)
         dt_chunk = (t2 - t1) / (k2 - k1)
         samples_chunk = (p2 - p1) / (k2 - k1) * lanes
-        _report("config7 fused whole-stream scan 44.1k->8k x1024 stereo (one lax.scan, 4 split-chain sub-fleets)",
+        _report(f"config7 fused whole-stream scan 44.1k->8k x1024 stereo (one lax.scan, split={split}, pipeline={int(pipeline)})",
                 samples_chunk, dt_chunk, 27.0)
 
     elif which == "7b":

@@ -250,23 +250,23 @@ def resample_scan_fused(
     clownresampler.h:1138-1173, as one device computation for ANY ratio).
 
     ``split`` runs the fleet as that many INDEPENDENT sub-fleets of L/split
-    lanes inside the same scan: each sub-fleet keeps its own halo/state carry
-    and staging buffer, so within a scan step the device overlaps the
-    sub-fleet kernels (independent dependency chains measure ~1.7-2.4x one
-    monolithic chain, benchmarks/RESULTS.md) while steps still serialize on
-    each sub-fleet's own carry only. Bit-exact for any split: lanes are
-    independent streams, the per-fleet math is identical (tests/test_scan.py).
+    lanes inside the same scan, each with its own halo/state carry and
+    staging buffer. Round-5 HONEST measurement (the fiction-era "sub-fleet
+    kernels overlap ~1.7-2.4x" was XLA deleting the unmaterialized chains —
+    benchmarks/RESULTS.md methodology correction #2): the full split x
+    pipeline matrix on the config-7 shape spans 4,029-4,432 Msamples/s
+    (145-164x C) with no coherent ordering — structure is inside the ±5%
+    window noise, so the default is the simplest form (split=1). Bit-exact
+    for any split: lanes are independent streams, the per-fleet math is
+    identical (tests/test_scan.py).
 
     ``pipeline`` double-buffers the staged engine input through the scan
     carry: step t's engine consumes the buffer staged at step t-1, while
     step t itself stages chunk t+1's buffer (halo slice + int16->int32 widen
-    + slack concat, the step's dominant HBM traffic). Unpipelined each step
-    is a serial [stage -> engine] chain; pipelined, the stage and the
-    engine touch DIFFERENT buffers inside one iteration, so the scheduler
-    overlaps the copy with the (VPU-bound) kernels. Measured on hardware
-    (round 4, config 7: 44.1k->8k x 1024 stereo lanes, split=4): 16,454 ->
-    22,298 Msamples/s (1.36x), hence the True default. Bit-exact either
-    way — the engine sees byte-identical buffers.
+    + slack concat). Honest round-5 re-measurement: within the same ±5%
+    noise (the round-4 "+36%" compared dead-carry variants); True kept as
+    the default (it measured ahead at split=1 and costs nothing).
+    Bit-exact either way — the engine sees byte-identical buffers.
 
     Returns (outputs (K, n_out, L) int32 zero-masked, produced (K,), state',
     backlog bool); ``backlog`` as in resample_scan.
