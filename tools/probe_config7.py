@@ -171,9 +171,14 @@ def main() -> None:
             carry0 = (tuple(state0 for _ in range(split)), bufs0)
             carry, y = jax.lax.scan(step, carry0,
                                     jnp.arange(k, dtype=jnp.int32))
+            # materialize EVERY fleet x EVERY step (frame 0 of each chunk,
+            # all lanes) — a single-leaf return lets XLA delete the other
+            # fleets' engines and all steps' writes but one (the round-5
+            # dead-carry fiction this probe exists to unwind)
+            pos = sum(c.position_integer for c in carry[0])
             if ys:
-                return y[0][0, 0, 0] + carry[0][0].position_integer
-            return y[0] + carry[0][0].position_integer
+                return sum(jnp.sum(yy[:, 0, :]) for yy in y) + pos
+            return jnp.sum(y) + pos
 
         t1 = timed(go, k1)
         t2 = timed(go, k2)
@@ -209,15 +214,14 @@ def main() -> None:
             return step
 
         total = jnp.int32(0)
-        outs0 = []
         for i in range(split):
             buf0 = stage(halo0, jax.lax.index_in_dim(chunk_cols[i], 0, 0,
                                                      keepdims=False))
             carry, y = jax.lax.scan(make_single(i), (state0, buf0),
                                     jnp.arange(k, dtype=jnp.int32))
-            total = total + carry[0].position_integer
-            outs0.append(y[0, 0, 0])
-        return total + sum(outs0)
+            # every step x every lane of THIS fleet stays live
+            total = total + carry[0].position_integer + jnp.sum(y[:, 0, :])
+        return total
 
     t1 = timed(go_indep, k1)
     t2 = timed(go_indep, k2)
