@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
 """Do independent wide-kernel (DMA) launches overlap on device?
 
-Round-5 roofline finding (tools/roofline.py): ONE Pallas program sustains
-only ~354 G tap-bodies/s (~25% of the chip's measured 1.4 T overlap
-aggregate), and the wide kernel's per-launch rate at taps 6016 (~400 G
-taps/s implied) sits right AT that single-program line — i.e. config 8/8c
-as benchmarked (one serialized K-slope chain) and the farm's wide dispatch
-(compute_lane_slices keeps wide fleets UNSPLIT) both leave the overlap
-multiplier on the table.
+Expected answer per the final round-5 roofline (tools/roofline.py,
+docs/ROOFLINE.md): NO — the calibration overlap sweep is perfectly flat
+(N whole programs cost exactly N x one from 2 to 16 chains; the early
+"1.4 T overlap aggregate" reading was itself a dead-carry artifact), so
+mono should match the summed split structures. This probe exists to
+confirm that device-wide fact holds for the DMA wide kernel specifically
+(whose launches interleave grid MAC blocks with inter-group DMA waits —
+the one kernel class where a scheduler COULD in principle fill another
+program's stalls), so the "no wide-fleet splitting" farm policy
+(compute_lane_slices) rests on a measurement, not an extrapolation.
 
 This probe measures, per wide shape, the three candidate structures:
 
