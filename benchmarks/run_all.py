@@ -428,8 +428,14 @@ def run_config(which: str) -> None:
             xs0.append(jnp.asarray(
                 rng.integers(-32768, 32768, size=(s, 512)).astype(np.int32)))
             states.append(make_device_state(0, 0x4321, cfg, inc))
-            plans.append((plan["kernel"], plan.get("d"), plan.get("cand"),
-                          taps, n_out_default, False))
+            # mirror the farm dispatchers' plan policy: tiled launches pin
+            # group 32 whenever the tile carries it (round-5 honest sweep)
+            if plan["kernel"] == "tiled" and n_out_default % (8 * 32) == 0:
+                plans.append((plan["kernel"], plan.get("d"), plan.get("cand"),
+                              taps, n_out_default, False, None, 0, 32))
+            else:
+                plans.append((plan["kernel"], plan.get("d"), plan.get("cand"),
+                              taps, n_out_default, False))
             tstrs5.append(
                 _std(_M.radius, _M.resolution, cfg.kernel_step_size, taps)
                 if plan["kernel"] in ("tiled", "general") else None)
