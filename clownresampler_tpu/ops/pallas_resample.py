@@ -166,6 +166,22 @@ def _phase_shift_kvals(kvals, m):
     return kv8
 
 
+def _eps_shift_kvals(kvals, eps, cand):
+    """(N, T) -> (N, T + cand - 1): row n's taps delayed by its Bresenham
+    jitter eps[n] (zeros elsewhere), so the tiled kernel's static window
+    slice j pairs directly with kv[j] — window row base + n*d + j against
+    k_n[j - eps_n] — and the per-tap candidate selects leave the kernel
+    entirely (the same trade as _phase_shift_kvals for the general/wide
+    kernels, applied to the tile jitter instead of the 8-alignment residue).
+    Exact: the padded zero taps contribute zero truncated terms
+    (clownresampler.h:1020, trunc(0/65536) == 0)."""
+    shifted = [jnp.pad(kvals, ((0, 0), (c, cand - 1 - c))) for c in range(cand)]
+    kv = shifted[0]
+    for c in range(1, cand):
+        kv = jnp.where((eps == c)[:, None], shifted[c], kv)
+    return kv
+
+
 def window_rows_needed(max_taps: int, d: int, cand: int) -> int:
     """Rows a tile's aligned load touches: alignment slack (<=7) + 7 frames of
     stride d + taps + candidate jitter — rounded up to a POWER OF TWO because
@@ -195,6 +211,7 @@ def _kernel_tiled(
     w_load: int,    # static aligned window rows (window_rows_needed)
     group: int,     # static frame-tiles per grid step (amortises block DMAs)
     clamp_s16: bool,
+    eps_fold: bool, # static: kv columns pre-shifted by eps (_eps_shift_kvals)
 ):
     jg = pl.program_id(1)
 
@@ -208,27 +225,38 @@ def _kernel_tiled(
 
         lo = g * FRAMES_PER_TILE
         hi = lo + FRAMES_PER_TILE
-        eps = meta_ref[lo:hi, 0:1]                               # (8, 1)
         q = meta_ref[lo:hi, 1:2]
-        sel = [eps == c for c in range(1, cand)]                 # hoisted masks
 
         acc = jnp.zeros((FRAMES_PER_TILE, LANES), jnp.int32)
-        for t in range(max_taps):
-            if d == 1:
-                # sublane k needs row base + k + eps(k) + t
-                win = r[t : t + FRAMES_PER_TILE]
-                for c in range(1, cand):
-                    win = jnp.where(sel[c - 1], r[t + c : t + c + FRAMES_PER_TILE], win)
-            else:
-                # sublane k needs row base + eps(k) + t (no per-frame stride)
-                win = jnp.broadcast_to(r[t : t + 1], (FRAMES_PER_TILE, LANES))
-                for c in range(1, cand):
-                    win = jnp.where(
-                        sel[c - 1],
-                        jnp.broadcast_to(r[t + c : t + c + 1], (FRAMES_PER_TILE, LANES)),
-                        win,
-                    )
-            acc = _macc(win, kv_ref[lo:hi, t : t + 1], acc)
+        if eps_fold:
+            # kv column j is k_n[j - eps_n] (zero outside), so every tap is
+            # ONE static slice + MAC: no candidate selects, no second slice
+            # assembly. Costs cand-1 extra (zero-tap) MAC columns.
+            for j in range(max_taps + cand - 1):
+                if d == 1:
+                    win = r[j : j + FRAMES_PER_TILE]
+                else:
+                    win = jnp.broadcast_to(r[j : j + 1], (FRAMES_PER_TILE, LANES))
+                acc = _macc(win, kv_ref[lo:hi, j : j + 1], acc)
+        else:
+            eps = meta_ref[lo:hi, 0:1]                           # (8, 1)
+            sel = [eps == c for c in range(1, cand)]             # hoisted masks
+            for t in range(max_taps):
+                if d == 1:
+                    # sublane k needs row base + k + eps(k) + t
+                    win = r[t : t + FRAMES_PER_TILE]
+                    for c in range(1, cand):
+                        win = jnp.where(sel[c - 1], r[t + c : t + c + FRAMES_PER_TILE], win)
+                else:
+                    # sublane k needs row base + eps(k) + t (no per-frame stride)
+                    win = jnp.broadcast_to(r[t : t + 1], (FRAMES_PER_TILE, LANES))
+                    for c in range(1, cand):
+                        win = jnp.where(
+                            sel[c - 1],
+                            jnp.broadcast_to(r[t + c : t + c + 1], (FRAMES_PER_TILE, LANES)),
+                            win,
+                        )
+                acc = _macc(win, kv_ref[lo:hi, t : t + 1], acc)
 
         results.append(fx.mul_shift15(acc, q))                   # 17.15 normalise
 
@@ -245,7 +273,7 @@ def _kernel_tiled(
     jax.jit,
     static_argnames=(
         "max_taps", "n_out", "d", "cand", "group", "clamp_s16", "interpret",
-        "lanes", "lane_offset",
+        "lanes", "lane_offset", "eps_fold",
     ),
 )
 def resample_uniform_lanes_tiled(
@@ -263,6 +291,7 @@ def resample_uniform_lanes_tiled(
     lanes: Optional[int] = None,   # static sub-launch width (default: all of x)
     lane_offset: int = 0,          # static first lane column (multiple of 128)
     table_strided=None,            # KernelModel.strided_table(step, max_taps)
+    eps_fold: bool = False,        # static: fold eps into kv (_eps_shift_kvals)
 ):
     """Fast-path uniform-ratio resample; requires increment < 2^17.
 
@@ -290,7 +319,11 @@ def resample_uniform_lanes_tiled(
     # Frames past the caller's natural count are padding whose results are
     # discarded; clamp their window bases so the aligned loads stay in bounds.
     tile_rows = jnp.clip(tile_rows, 0, max(s - w_load, 0))
-    kv = kvals                                                   # (N, T)
+    if eps_fold and cand > 1:
+        kv = _eps_shift_kvals(kvals, eps, cand)                  # (N, T+cand-1)
+    else:
+        kv = kvals                                               # (N, T)
+    kv_w = kv.shape[1]
     meta = jnp.stack([eps, q], axis=1)                           # (N, 2)
     meta = jnp.pad(meta, ((0, 0), (0, LANES - 2)))               # (N, 128)
 
@@ -301,7 +334,7 @@ def resample_uniform_lanes_tiled(
         grid=(lanes // LANES, n_steps),
         in_specs=[
             pl.BlockSpec((step_frames, LANES), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((step_frames, max_taps), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((step_frames, kv_w), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, LANES), lambda i, j, *_: (0, i + tile0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -311,7 +344,7 @@ def resample_uniform_lanes_tiled(
     out = pl.pallas_call(
         partial(
             _kernel_tiled, max_taps=max_taps, d=d, cand=cand, w_load=w_load,
-            group=group, clamp_s16=clamp_s16,
+            group=group, clamp_s16=clamp_s16, eps_fold=eps_fold and cand > 1,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
