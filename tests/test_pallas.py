@@ -64,8 +64,9 @@ def _oracle(table, x, state, max_taps, n_out):
     return convolve_frames(table, x, pos, frac, state.cfg, max_taps)
 
 
+@pytest.mark.parametrize("eps_fold", [False, True], ids=["selects", "epsfold"])
 @pytest.mark.parametrize("in_rate,out_rate", TILED_RATIOS)
-def test_tiled_kernel_bit_exact(in_rate, out_rate):
+def test_tiled_kernel_bit_exact(in_rate, out_rate, eps_fold):
     table = jnp.asarray(lanczos_kernel_table())
     cfg, inc, state, max_taps, x = _setup(in_rate, out_rate)
     plan = plan_uniform(inc, 64)
@@ -81,6 +82,7 @@ def test_tiled_kernel_bit_exact(in_rate, out_rate):
         d=plan["d"],
         cand=plan["cand"],
         interpret=True,
+        eps_fold=eps_fold,
     )
     np.testing.assert_array_equal(np.asarray(got), want, err_msg=str((in_rate, out_rate)))
 
