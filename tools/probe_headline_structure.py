@@ -47,10 +47,23 @@ def run_point(point: str, cls: str = "tiled") -> None:
         strided_table_device,
     )
 
+    # Point tokens: kind:spec[:grp<G>][:n<N>] — grp sets the frame group,
+    # n<N> overrides n_out (launch frames; must stay a multiple of 8*grp).
+    toks = point.split(":")
+    kind, spec = toks[0], toks[1]
+    grp, n_out = 32, 8192
+    for t in toks[2:]:
+        if t.startswith("grp"):
+            grp = int(t[3:])
+        elif t.startswith("n"):
+            n_out = int(t[1:])
+        else:
+            raise SystemExit(f"unknown point token {t!r}")
+
     if cls == "tiled":
         cfg = configure(48000, 44100, 44100)
         inc = fx.calculate_ratio(48000, 44100)
-        n_out, taps = 8192, 8
+        taps = 8
         plan = plan_uniform(inc, n_out)
         s = -(-((((n_out * inc) >> 16) + 96)) // 16) * 16
         plan_t = ("tiled", plan["d"], plan["cand"], taps, n_out, False)
@@ -69,12 +82,6 @@ def run_point(point: str, cls: str = "tiled") -> None:
                                  cfg.kernel_step_size, taps)
             if cls == "tiled" else None)
     rng = np.random.default_rng(7)
-
-    kind, spec = point.split(":", 1)
-    grp = 32
-    if ":grp" in point:
-        spec, g = spec.split(":grp")
-        grp = int(g)
     shared_offsets = None
     if kind == "mono":
         lanes = int(spec)
